@@ -1,0 +1,68 @@
+"""Local contrast normalization (LCN).
+
+Replaces the reference's two implementations (``preprocess.py:85-167``):
+``lcn_cpu`` (scipy convolve, reflect padding) and ``lcn_gpu`` (two Keras
+Conv3D passes with an all-ones kernel, zero padding).  Here both paddings are
+one jitted function built on cumulative-sum box filters — no conv, no
+host↔device round trips, and the whole normalization fuses into a handful of
+VPU passes over the volume.
+
+``normalize_image`` mirrors ``preprocess.py:170-188``: subtract the median,
+clip negatives to zero, then LCN.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+
+from .filters import box_mean
+
+
+@functools.partial(jax.jit, static_argnames=("filter_size", "padding"))
+def lcn(img3d: jax.Array,
+        noise_level: float = 5.0,
+        filter_size: Tuple[int, int, int] = (27, 27, 1),
+        padding: str = "zero") -> jax.Array:
+    """Local contrast normalization of a 3-D volume.
+
+    out = (x - mean_w(x)) / (sqrt(mean_w((x - mean_w(x))^2)) + noise_level)
+
+    with mean_w a box average over ``filter_size``.  ``padding='zero'``
+    reproduces the reference GPU path (Conv3D 'same'); ``'reflect'``
+    reproduces the CPU path.
+
+    Note: like the reference GPU path, the *normalizer* divides by the full
+    window volume even at borders (zero padding shrinks the effective mean
+    near edges in the same way Conv3D does).
+    """
+    x = img3d.astype(jnp.float32)
+    avg = box_mean(x, filter_size, mode=padding)
+    diff_sqr = jnp.square(x - avg)
+    std = jnp.sqrt(box_mean(diff_sqr, filter_size, mode=padding))
+    return (x - avg) / (std + jnp.float32(noise_level))
+
+
+@functools.partial(jax.jit, static_argnames=("filter_size", "padding"))
+def normalize_image(image: jax.Array,
+                    noise_level: float,
+                    filter_size: Tuple[int, int, int] = (27, 27, 1),
+                    padding: str = "zero") -> jax.Array:
+    """Median-subtract, clip at zero, then LCN (``preprocess.py:170-188``).
+
+    Matches the reference's ``lcn_gpu(image_norm, ...)`` where the *squared
+    difference* input to the second box filter is computed against the
+    already median-subtracted image.
+    """
+    x = image.astype(jnp.float32)
+    x = x - jnp.median(x)
+    x = jnp.maximum(x, 0.0)
+    return lcn(x, noise_level, filter_size, padding)
+
+
+def normalize_label(label_img: jax.Array) -> jax.Array:
+    """Binarize a cell/non-cell annotation (``preprocess.py:191-205``)."""
+    return (label_img > 0).astype(jnp.int32)
