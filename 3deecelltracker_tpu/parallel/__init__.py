@@ -1,0 +1,17 @@
+"""Scale-out layer: device meshes, sharded training, ensemble fan-out.
+
+The reference is strictly single-process/single-GPU (SURVEY §2.3); this
+package is new TPU architecture: ``jax.sharding.Mesh`` + pjit with
+(data, spatial) axes, XLA SPMD halo exchange for spatially sharded convs,
+and device-resident ensemble reductions.
+"""
+
+from .mesh import make_mesh, auto_mesh_shape
+from .training import make_unet_train_step, make_sharded_unet_train_step
+
+__all__ = [
+    "make_mesh",
+    "auto_mesh_shape",
+    "make_unet_train_step",
+    "make_sharded_unet_train_step",
+]
