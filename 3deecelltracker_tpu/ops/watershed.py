@@ -1,0 +1,210 @@
+"""Marker-based watershed and instance splitting on device.
+
+Replaces ``skimage.segmentation.watershed`` and the reference pipeline built
+on it (``watershed.py:16-151``): 2-D per-slice splitting, 3-D anisotropic
+splitting with size filtering, and overlap-region boundary recalculation.
+
+Algorithm: watershed-by-flooding is reformulated as a minimax-path
+assignment — every masked voxel takes the label of the marker reachable with
+the smallest (max elevation along path, path length) in lexicographic order.
+That fixed point is computed by iterated neighborhood relaxation (one fused
+VPU pass per round), which matches priority-flood output for distinct
+elevation values and resolves plateaus by BFS order (skimage's FIFO
+tie-break).  Per-z 2-D watersheds run as ONE vmapped batch over slices
+instead of the reference's Python z-loop.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from .connected import label_components_raw, relabel_sequential
+from .edt import distance_transform_edt
+from .filters import gaussian_filter
+from .neighborhood import neighbor_offsets, shift
+from .peaks import peak_local_max_mask
+
+_INF = jnp.float32(3e38)
+
+
+@functools.partial(jax.jit, static_argnames=("connectivity", "max_iters"))
+def watershed_flood(elevation: jax.Array, markers: jax.Array,
+                    mask: jax.Array, connectivity: int = 1,
+                    max_iters: int = 512) -> jax.Array:
+    """Flood ``markers`` over ``elevation`` within ``mask``.
+
+    skimage.segmentation.watershed(image, markers, mask=mask) semantics with
+    the default connectivity=1 neighborhood.
+    """
+    offsets = neighbor_offsets(elevation.ndim, connectivity)
+    elev = elevation.astype(jnp.float32)
+    m = mask != 0
+    is_marker = (markers > 0) & m
+    lab0 = jnp.where(is_marker, markers, 0).astype(jnp.int32)
+    cost0 = jnp.where(is_marker, elev, _INF)
+    hops0 = jnp.where(is_marker, 0.0, _INF)
+
+    def body(carry):
+        lab, cost, hops, _, it = carry
+        best_lab, best_cost, best_hops = lab, cost, hops
+        for off in offsets:
+            n_lab = shift(lab, off, 0)
+            n_cost = shift(cost, off, _INF)
+            n_hops = shift(hops, off, _INF)
+            cand_cost = jnp.maximum(n_cost, elev)
+            cand_hops = n_hops + 1.0
+            valid = n_lab > 0
+            better = valid & (
+                (cand_cost < best_cost)
+                | ((cand_cost == best_cost) & (cand_hops < best_hops)))
+            best_lab = jnp.where(better, n_lab, best_lab)
+            best_hops = jnp.where(better, cand_hops, best_hops)
+            best_cost = jnp.where(better, cand_cost, best_cost)
+        # markers never change; only masked voxels update
+        upd = m & ~is_marker
+        new_lab = jnp.where(upd, best_lab, lab)
+        new_cost = jnp.where(upd, best_cost, cost)
+        new_hops = jnp.where(upd, best_hops, hops)
+        changed = jnp.any((new_lab != lab) | (new_cost != cost))
+        return new_lab, new_cost, new_hops, changed, it + 1
+
+    def cond(carry):
+        return carry[3] & (carry[4] < max_iters)
+
+    lab, _, _, _, _ = jax.lax.while_loop(
+        cond, body, (lab0, cost0, hops0, jnp.bool_(True), jnp.int32(0)))
+    return jnp.where(m, lab, 0)
+
+
+@functools.partial(jax.jit, static_argnames=("connectivity",))
+def find_boundaries_outer(labels: jax.Array, connectivity: int) -> jax.Array:
+    """skimage ``find_boundaries(mode='outer')`` semantics
+    (reference watershed.py:45,103): background voxels adjacent to an object,
+    plus object voxels touching a different nonzero label."""
+    offsets = neighbor_offsets(labels.ndim, connectivity)
+    bg = labels == 0
+    any_fg_neighbor = jnp.zeros(labels.shape, bool)
+    diff_label_neighbor = jnp.zeros(labels.shape, bool)
+    for off in offsets:
+        n = shift(labels, off, 0)
+        any_fg_neighbor |= n > 0
+        diff_label_neighbor |= (n > 0) & (n != labels)
+    return (bg & any_fg_neighbor) | (~bg & diff_label_neighbor)
+
+
+@functools.partial(jax.jit, static_argnames=("max_labels",))
+def remove_small_objects(labels: jax.Array, min_size,
+                         max_labels: int = 4096) -> jax.Array:
+    """Zero out labels whose voxel count is below ``min_size``
+    (skimage.morphology.remove_small_objects on a labeled image)."""
+    counts = jnp.bincount(labels.reshape(-1), length=max_labels + 1)
+    keep = counts >= min_size
+    keep = keep.at[0].set(False)
+    return jnp.where(keep[labels], labels, 0)
+
+
+# ---------------------------------------------------------------------------
+# Pipeline functions (reference watershed.py:16-151)
+# ---------------------------------------------------------------------------
+
+def _watershed_2d_slice(pred_2d: jax.Array, min_distance: int,
+                        max_iters: int) -> jax.Array:
+    """One z-slice of ``watershed_2d``: returns the boundary mask."""
+    bn = pred_2d > 0.5
+    dist = distance_transform_edt(bn, (1.0, 1.0))
+    dist_smooth = gaussian_filter(dist, 2.0, mode="zero")
+    peaks = peak_local_max_mask(dist_smooth, min_distance=min_distance)
+    markers = label_components_raw(peaks)
+    ws = watershed_flood(-dist_smooth, markers, bn, connectivity=1,
+                         max_iters=max_iters)
+    return find_boundaries_outer(ws, connectivity=2)
+
+
+@functools.partial(jax.jit, static_argnames=("min_distance", "max_iters"))
+def watershed_2d(image_pred: jax.Array, min_distance: int = 7,
+                 max_iters: int = 512) -> Tuple[jax.Array, jax.Array]:
+    """Per-z 2-D watershed splitting (reference ``watershed.py:16-52``).
+
+    ``image_pred``: (x, y, z) U-Net probability map.  All slices are
+    processed as one vmapped batch.  Returns (binary cells with boundaries
+    carved out, boundary mask).
+    """
+    boundary = jax.vmap(
+        lambda sl: _watershed_2d_slice(sl, min_distance, max_iters),
+        in_axes=2, out_axes=2)(image_pred)
+    bn_output = (image_pred > 0.5) & ~boundary
+    return bn_output, boundary
+
+
+@functools.partial(jax.jit, static_argnames=(
+    "samplingrate", "method", "cell_num", "min_distance", "max_labels",
+    "max_iters"))
+def watershed_3d(image_watershed2d: jax.Array,
+                 samplingrate: Tuple[float, float, float],
+                 method: str = "min_size",
+                 min_size: int = 100,
+                 cell_num: int = 0,
+                 min_distance: int = 3,
+                 max_labels: int = 1024,
+                 max_iters: int = 512):
+    """3-D anisotropic watershed + size filtering
+    (reference ``watershed.py:55-108``).
+
+    Returns (labels_wo_bd, labels_clear, min_size, cell_num); the last two
+    are traced scalars (data-dependent, like the reference's).
+    """
+    mask = image_watershed2d != 0
+    dist = distance_transform_edt(mask, tuple(float(s) for s in samplingrate))
+    dist_smooth = gaussian_filter(dist, (2.0, 2.0, 0.3), mode="zero")
+    peaks = peak_local_max_mask(dist_smooth, min_distance=min_distance,
+                                exclude_border=0)
+    markers = relabel_sequential(label_components_raw(peaks),
+                                 max_labels=max_labels)
+    labels_ws = watershed_flood(-dist_smooth, markers, mask,
+                                connectivity=1, max_iters=max_iters)
+
+    counts = jnp.bincount(labels_ws.reshape(-1), length=max_labels + 1)
+    sorted_counts = jnp.sort(counts)
+    if method == "min_size":
+        min_size_val = jnp.int32(min_size)
+        cell_num_val = jnp.sum(sorted_counts >= min_size_val) - 1
+    elif method == "cell_num":
+        # the (cell_num+1)-th largest count (bg is largest), watershed.py:98
+        min_size_val = sorted_counts[-cell_num - 1]
+        cell_num_val = jnp.int32(cell_num)
+    else:
+        raise ValueError("method must be 'min_size' or 'cell_num'")
+
+    labels_clear = remove_small_objects(labels_ws, min_size_val, max_labels)
+    boundary = find_boundaries_outer(labels_clear, connectivity=3)
+    labels_wo_bd = jnp.where(boundary, 0, labels_clear)
+    labels_wo_bd = remove_small_objects(labels_wo_bd, min_size_val,
+                                        max_labels)
+    return labels_wo_bd, labels_clear, min_size_val, cell_num_val
+
+
+def _recalc_slice(seg_2d: jax.Array, overlap_2d: jax.Array,
+                  sampling_xy: Tuple[float, float],
+                  max_iters: int) -> jax.Array:
+    over = overlap_2d > 1
+    mask_image = (seg_2d > 0) | over
+    markers = jnp.where(over, 0, seg_2d)
+    distance_map = distance_transform_edt(over, sampling_xy)
+    return watershed_flood(distance_map, markers, mask_image,
+                           connectivity=1, max_iters=max_iters)
+
+
+@functools.partial(jax.jit, static_argnames=("sampling_xy", "max_iters"))
+def recalculate_cell_boundaries(segmentation_xyz: jax.Array,
+                                cell_overlaps_mask: jax.Array,
+                                sampling_xy: Tuple[float, float] = (1.0, 1.0),
+                                max_iters: int = 512) -> jax.Array:
+    """Reassign overlap regions (mask > 1) to the nearest cell by per-z 2-D
+    watershed (reference ``watershed.py:111-151``), vmapped over z."""
+    return jax.vmap(
+        lambda s, o: _recalc_slice(s, o, sampling_xy, max_iters),
+        in_axes=2, out_axes=2)(segmentation_xyz, cell_overlaps_mask)
