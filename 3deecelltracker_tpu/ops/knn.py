@@ -1,0 +1,64 @@
+"""Brute-force k-nearest-neighbor queries and FFN feature building.
+
+Replaces ``sklearn.neighbors.NearestNeighbors`` kd-trees
+(reference ``ffn.py:288-321``, ``track.py:137-173``).  Cell point sets are
+10^2-10^3 points, so the all-pairs distance matrix is tiny — a single
+matmul-shaped reduction plus ``lax.top_k`` beats any tree on TPU, and the
+whole feature build is one fused vmapped gather instead of the reference's
+per-point Python loop.
+
+All functions take a validity mask so padded (fixed-shape) point sets jit
+once for the whole recording (SURVEY §7 design stance).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+_BIG = 1e10
+
+
+def pairwise_sq_dists(a: jax.Array, b: jax.Array) -> jax.Array:
+    """(n, m) squared euclidean distances."""
+    d = a[:, None, :] - b[None, :, :]
+    return jnp.sum(d * d, axis=-1)
+
+
+@functools.partial(jax.jit, static_argnames=("k",))
+def knn(points: jax.Array, mask: jax.Array, k: int
+        ) -> Tuple[jax.Array, jax.Array]:
+    """k nearest neighbors of each point within the same (masked) set,
+    including the point itself as neighbor 0.
+
+    Returns (distances (n, k), indices (n, k)) sorted ascending.
+    Invalid points are never returned as neighbors; rows for invalid query
+    points contain garbage (mask downstream).
+    """
+    d2 = pairwise_sq_dists(points, points)
+    d2 = jnp.where(mask[None, :], d2, _BIG)
+    neg, idx = jax.lax.top_k(-d2, k)
+    return jnp.sqrt(jnp.maximum(-neg, 0.0)), idx
+
+
+@functools.partial(jax.jit, static_argnames=("k",))
+def knn_feature_vectors(points: jax.Array, mask: jax.Array, k: int = 20
+                        ) -> jax.Array:
+    """61-dim FFN features per point (reference ``ffn.py:294-318``):
+    the k nearest neighbors' offsets from the point, divided by the mean
+    distance over the (k+1)-NN (self included, contributing 0), plus that
+    mean distance.
+
+    points: (n, 3) (normalized frame), mask: (n,).  Returns (n, 3k+1).
+    """
+    dists, idx = knn(points, mask, k + 1)
+    mean_dist = jnp.mean(dists, axis=1)                      # (n,)
+    self_pt = points[idx[:, 0]]                              # == points row
+    neighbors = points[idx[:, 1:]]                           # (n, k, 3)
+    rel = (neighbors - self_pt[:, None, :]) / mean_dist[:, None, None]
+    feats = jnp.concatenate(
+        [rel.reshape(points.shape[0], 3 * k), mean_dist[:, None]], axis=1)
+    return jnp.where(mask[:, None], feats, 0.0)

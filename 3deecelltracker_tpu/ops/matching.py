@@ -1,0 +1,98 @@
+"""Match-matrix post-processing: greedy argmax peeling and normalizations.
+
+Replaces the reference's Python peel loops — ``simple_match``
+(``trackerlite.py:242-259``), the legacy 0.5-threshold peel inside
+``pr_gls_quick`` (``track.py:58-70``), and ``non_max_suppression_normalize``
+(``trackerlite.py:393-406``) — with jittable ``lax.while_loop`` peels over
+the score matrix.  Padded rows/columns score 0 and can never be matched.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+
+
+def _peel_loop(match_matrix: jax.Array, threshold: float
+               ) -> Tuple[jax.Array, jax.Array, jax.Array]:
+    """Greedy peel: repeatedly take the global max > threshold, zero its
+    row/col.  Returns (pair mask (m, n) bool, n_pairs, consumed matrix)."""
+    m, n = match_matrix.shape
+    max_pairs = min(m, n)
+
+    def cond(carry):
+        mat, pairs, count = carry
+        return (jnp.max(mat) >= threshold) & (count < max_pairs)
+
+    def body(carry):
+        mat, pairs, count = carry
+        flat_idx = jnp.argmax(mat)
+        tgt = flat_idx // n
+        ref = flat_idx % n
+        pairs = pairs.at[tgt, ref].set(True)
+        mat = mat.at[tgt, :].set(0.0)
+        mat = mat.at[:, ref].set(0.0)
+        return mat, pairs, count + 1
+
+    mat0 = match_matrix.astype(jnp.float32)
+    pairs0 = jnp.zeros((m, n), bool)
+    mat, pairs, count = jax.lax.while_loop(
+        cond, body, (mat0, pairs0, jnp.int32(0)))
+    return pairs, count, mat
+
+
+@functools.partial(jax.jit, static_argnames=("threshold",))
+def simple_match(initial_match_matrix: jax.Array, threshold: float = 0.1
+                 ) -> Tuple[jax.Array, jax.Array]:
+    """``trackerlite.simple_match``: every entry gets prior 0.1/(n-1);
+    matched (tgt, ref) pairs get 0.9.
+
+    Note the reference peels strictly-greater-than... it breaks when
+    ``max < threshold`` i.e. continues while max >= threshold; replicated.
+
+    Returns (normalized_prob (m, n), pair mask (m, n) bool).
+    """
+    pairs, _, _ = _peel_loop(initial_match_matrix, threshold)
+    n = initial_match_matrix.shape[1]
+    prob = jnp.full(initial_match_matrix.shape, 0.1 / (n - 1), jnp.float32)
+    return jnp.where(pairs, 0.9, prob), pairs
+
+
+@functools.partial(jax.jit, static_argnames=("threshold",))
+def legacy_init_match(corr: jax.Array, threshold: float = 0.5) -> jax.Array:
+    """The peel embedded in ``pr_gls_quick`` (track.py:58-70): unmatched
+    rows stay uniform 1/n; matched rows become 0.1/(n-1) except 0.9 at the
+    matched column."""
+    pairs, _, _ = _peel_loop(corr, threshold)
+    n = corr.shape[1]
+    matched_row = jnp.any(pairs, axis=1, keepdims=True)
+    base = jnp.where(matched_row, 0.1 / (n - 1), 1.0 / n)
+    return jnp.where(pairs, 0.9, jnp.broadcast_to(base, corr.shape)
+                     ).astype(jnp.float32)
+
+
+@functools.partial(jax.jit, static_argnames=("threshold",))
+def non_max_suppression_normalize(similarity: jax.Array,
+                                  threshold: float = 0.5) -> jax.Array:
+    """``trackerlite.non_max_suppression_normalize`` (:393-406)."""
+    pairs, _, _ = _peel_loop(similarity, threshold)
+    n = similarity.shape[1]
+    matched_row = jnp.any(pairs, axis=1, keepdims=True)
+    base = jnp.where(matched_row, 0.1 / (n - 1), 1.0 / n)
+    return jnp.where(pairs, 0.9, jnp.broadcast_to(base, similarity.shape)
+                     ).astype(jnp.float32)
+
+
+@jax.jit
+def softmax_normalize(similarity: jax.Array) -> jax.Array:
+    """``trackerlite.softmax_normalize`` (:385-386)."""
+    return jax.nn.softmax(similarity, axis=1)
+
+
+@jax.jit
+def row_wise_normalize(similarity: jax.Array) -> jax.Array:
+    """``trackerlite.row_wise_normalize`` (:389-390)."""
+    return similarity / jnp.sum(similarity, axis=1, keepdims=True)

@@ -1,0 +1,214 @@
+"""PR-GLS non-rigid point-set registration (EM), the tracking core.
+
+Rebuilds the reference's EM loops — ``prgls_quick`` / ``prgls_with_two_ref``
+(``trackerlite.py:262-358``) and the legacy ``pr_gls_quick``
+(``track.py:11-114``) — as ``lax.while_loop`` fixed-point iterations with
+the n x n M-step solve (``np.linalg.solve`` -> LAPACK in the reference,
+``trackerlite.py:416``) executed on device.
+
+Motion model: T(X) = X + C·G with gaussian Gram matrix
+G_ij = exp(-|x_i - x_j|^2 / 2 beta^2).  E-step computes the match posterior
+with outlier ratio gamma; M-step solves
+(G·diag(P1) + lambda sigma^2 I) C^T = (Y^T P - X^T diag(P1))^T.
+
+All functions accept validity masks so padded point sets jit once; masked
+entries contribute zero posterior and receive zero movement (their rows of
+the linear system are identity).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from .knn import pairwise_sq_dists
+
+
+def gaussian_gram(a: jax.Array, b: jax.Array, beta_sq: float) -> jax.Array:
+    """exp(-|a_i - b_j|^2 / (2 beta_sq)) of shape (len(a), len(b))
+    (``trackerlite.py:368-372`` — note the reference passes beta**2)."""
+    return jnp.exp(-pairwise_sq_dists(a, b) / (2.0 * beta_sq))
+
+
+def _masked(x, mask, fill=0.0):
+    return jnp.where(mask, x, fill)
+
+
+class PrglsResult(NamedTuple):
+    tracked: jax.Array          # moved second-reference (l, 3)
+    moved_ref: jax.Array        # moved ref set T(X) (n, 3)
+    posterior: jax.Array        # (m, n)
+    n_iterations: jax.Array     # scalar int32
+    coefficients: jax.Array     # final C (3, n) motion basis weights
+
+
+@functools.partial(jax.jit, static_argnames=("max_iteration",))
+def prgls_with_two_ref(init_match: jax.Array,
+                       ptrs_tgt: jax.Array,
+                       ptrs_ref: jax.Array,
+                       tracked_ref: jax.Array,
+                       beta: float = 3.0,
+                       lambda_: float = 3.0,
+                       max_iteration: int = 2000,
+                       tgt_mask: Optional[jax.Array] = None,
+                       ref_mask: Optional[jax.Array] = None,
+                       vol: float = 1.0,
+                       convergence_epsilon: float = 1e-3) -> PrglsResult:
+    """``trackerlite.prgls_with_two_ref`` (:309-358): fit the motion field on
+    (ptrs_ref -> ptrs_tgt) guided by ``init_match`` and apply it to the
+    confirmed set ``tracked_ref`` via the cross Gram matrix.
+
+    Reference-parity details preserved: the first EM iteration's movement is
+    discarded (:339-341), gamma clamps at 1e-4 (:347-348), convergence when
+    the ref-movement norm drops below 1e-3 (:353-356), iteration count runs
+    1..max_iteration-1 (:328).
+    """
+    m, n = init_match.shape
+    if tgt_mask is None:
+        tgt_mask = jnp.ones((m,), bool)
+    if ref_mask is None:
+        ref_mask = jnp.ones((n,), bool)
+
+    beta_sq = beta ** 2
+    valid_pair = tgt_mask[:, None] & ref_mask[None, :]
+    prior = _masked(init_match.astype(jnp.float32), valid_pair)
+
+    gram_nn = gaussian_gram(ptrs_ref, ptrs_ref, beta_sq)
+    gram_nn = jnp.where(ref_mask[:, None] & ref_mask[None, :], gram_nn, 0.0)
+    gram_ln = gaussian_gram(tracked_ref, ptrs_ref, beta_sq)
+    gram_ln = jnp.where(ref_mask[None, :], gram_ln, 0.0)
+
+    d2_init = pairwise_sq_dists(ptrs_tgt, ptrs_ref)
+    n_pairs = jnp.sum(valid_pair.astype(jnp.float32))
+    sigma_sq0 = jnp.sum(_masked(d2_init, valid_pair)) / (3.0 * n_pairs)
+
+    m_valid = jnp.sum(tgt_mask.astype(jnp.float32))
+    eye = jnp.eye(n, dtype=jnp.float32)
+
+    def e_step(pred_ref, sigma_sq, gamma):
+        k = gaussian_gram(ptrs_tgt, pred_ref, sigma_sq)
+        p_joint = (1.0 - gamma) * prior * k / \
+            (2.0 * jnp.pi * sigma_sq) ** 1.5
+        p_joint = _masked(p_joint, valid_pair)
+        denom = jnp.sum(p_joint, axis=1) + gamma / vol
+        post = p_joint / denom[:, None]
+        return _masked(post, valid_pair)
+
+    def m_step(post, pred_ref, sigma_sq):
+        p1 = jnp.sum(post, axis=0)                       # (n,)
+        coeff = gram_nn * p1[None, :] + lambda_ * sigma_sq * eye
+        dep = ptrs_tgt.T @ post - pred_ref.T * p1[None, :]   # (3, n)
+        c = jnp.linalg.solve(coeff.T, dep.T).T            # (3, n)
+        return c
+
+    def body(carry):
+        pred_ref, pred_tracked, sigma_sq, gamma, _, _, it = carry
+        post = e_step(pred_ref, sigma_sq, gamma)
+        c = m_step(post, pred_ref, sigma_sq)
+        move_ref = (c @ gram_nn).T                        # (n, 3)
+        move_tracked = (c @ gram_ln.T).T                  # (l, 3)
+        apply = it > 1
+        pred_ref = jnp.where(apply, pred_ref + move_ref, pred_ref)
+        pred_tracked = jnp.where(apply, pred_tracked + move_tracked,
+                                 pred_tracked)
+        sum_post = jnp.sum(post)
+        gamma = jnp.maximum(1.0 - sum_post / m_valid, 1e-4)
+        d2 = pairwise_sq_dists(pred_ref, ptrs_tgt).T      # (m, n)
+        sigma_sq = jnp.sum(_masked(d2, valid_pair) * post) / (3.0 * sum_post)
+        move_norm = jnp.sqrt(jnp.sum(jnp.square(
+            _masked(move_ref, ref_mask[:, None]))))
+        return (pred_ref, pred_tracked, sigma_sq, gamma, post,
+                jnp.stack([move_norm, 0.0]), it + 1)
+
+    def cond(carry):
+        *_, aux, it = carry
+        converged = (it > 1) & (aux[0] < convergence_epsilon)
+        return (it < max_iteration) & ~converged
+
+    post0 = jnp.zeros((m, n), jnp.float32)
+    carry0 = (ptrs_ref.astype(jnp.float32),
+              tracked_ref.astype(jnp.float32),
+              sigma_sq0, jnp.float32(0.05), post0,
+              jnp.asarray([jnp.inf, 0.0], jnp.float32), jnp.int32(1))
+    pred_ref, pred_tracked, sigma_sq, gamma, post, aux, it = \
+        jax.lax.while_loop(cond, body, carry0)
+
+    # final C for callers that replay motion (legacy Tracker path)
+    c_final = m_step(post, pred_ref, sigma_sq)
+    return PrglsResult(pred_tracked, pred_ref, post, it, c_final)
+
+
+@functools.partial(jax.jit, static_argnames=("max_iteration",))
+def prgls_quick(init_match: jax.Array,
+                ptrs_tgt: jax.Array,
+                tracked_ref: jax.Array,
+                beta: float = 3.0,
+                lambda_: float = 3.0,
+                max_iteration: int = 2000,
+                tgt_mask: Optional[jax.Array] = None,
+                ref_mask: Optional[jax.Array] = None,
+                vol: float = 1.0) -> PrglsResult:
+    """``trackerlite.prgls_quick`` (:262-306): the single-reference variant —
+    the motion field is both fit on and applied to ``tracked_ref``."""
+    return prgls_with_two_ref(init_match, ptrs_tgt, tracked_ref, tracked_ref,
+                              beta=beta, lambda_=lambda_,
+                              max_iteration=max_iteration,
+                              tgt_mask=tgt_mask, ref_mask=ref_mask, vol=vol)
+
+
+class LegacyPrglsResult(NamedTuple):
+    posterior: jax.Array        # final P (m, n)
+    moved_ref: jax.Array        # T(X) (n, 3)
+    coefficients: jax.Array     # C (3, n)
+
+
+@functools.partial(jax.jit, static_argnames=("max_iteration",))
+def pr_gls_quick(x_ref: jax.Array, y_tgt: jax.Array, corr: jax.Array,
+                 beta: float = 300.0, max_iteration: int = 20,
+                 lambda_: float = 0.1, vol: float = 1e8
+                 ) -> LegacyPrglsResult:
+    """Legacy v0.4 PR-GLS (``track.py:11-114``), including its distinct
+    numerics: gamma starts at 0.1, the E-step denominator is
+    gamma (2 pi sigma^2)^1.5 / ((1-gamma) vol), movement applies from the
+    first iteration, sigma^2 clamps at >= 1, fixed iteration budget (no
+    convergence break), and the 0.5-threshold peel builds the prior.
+    """
+    from .matching import legacy_init_match
+
+    n = x_ref.shape[0]
+    m = y_tgt.shape[0]
+    init_match = legacy_init_match(corr, threshold=0.5)
+
+    gram = gaussian_gram(x_ref, x_ref, beta ** 2)
+    sigma_sq0 = jnp.sum(pairwise_sq_dists(x_ref, y_tgt)) / (3.0 * n * m)
+    eye = jnp.eye(n, dtype=jnp.float32)
+
+    def body(it, carry):
+        t_x, sigma_sq, gamma, _, _ = carry
+        dist_sq = pairwise_sq_dists(y_tgt, t_x)            # (m, n)
+        p1 = init_match * jnp.exp(-dist_sq / (2.0 * sigma_sq))
+        denom = jnp.sum(p1, axis=1) + gamma * \
+            (2.0 * jnp.pi * sigma_sq) ** 1.5 / ((1.0 - gamma) * vol)
+        post = p1 / denom[:, None]
+
+        diag_p = jnp.sum(post, axis=0)                     # (n,)
+        a = gram * diag_p[None, :] + lambda_ * sigma_sq * eye
+        b = y_tgt.T @ post - x_ref.T * diag_p[None, :]
+        c = jnp.linalg.solve(a.T, b.T).T                   # (3, n)
+        t_x = (x_ref.T + c @ gram).T
+
+        m_p = jnp.sum(post)
+        gamma = 1.0 - m_p / m
+        dist_sq2 = pairwise_sq_dists(y_tgt, t_x)
+        sigma_sq = jnp.maximum(jnp.sum(post * dist_sq2) / (3.0 * m_p), 1.0)
+        return t_x, sigma_sq, gamma, post, c
+
+    carry0 = (x_ref.astype(jnp.float32), sigma_sq0, jnp.float32(0.1),
+              jnp.zeros((m, n), jnp.float32), jnp.zeros((3, n), jnp.float32))
+    # reference iterates range(1, max_iteration) -> max_iteration-1 rounds
+    t_x, sigma_sq, gamma, post, c = jax.lax.fori_loop(
+        1, max_iteration, body, carry0)
+    return LegacyPrglsResult(post, t_x, c)

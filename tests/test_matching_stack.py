@@ -1,0 +1,277 @@
+"""Matching stack goldens: kNN features vs sklearn construction,
+normalize_points vs sklearn PCA, greedy peel vs NumPy port, PR-GLS EM vs a
+float64 NumPy port of the reference equations."""
+
+import numpy as np
+import pytest
+from sklearn.decomposition import PCA
+from sklearn.neighbors import NearestNeighbors
+
+from t3dct.ops.knn import knn, knn_feature_vectors
+from t3dct.ops.pointset import normalize_points
+from t3dct.ops.matching import simple_match, legacy_init_match
+from t3dct.ops.prgls import prgls_with_two_ref, prgls_quick, pr_gls_quick
+
+
+def _points(n=60, seed=0, scale=10.0):
+    rng = np.random.RandomState(seed)
+    return (rng.rand(n, 3) * scale).astype(np.float32)
+
+
+# ---- kNN features ----------------------------------------------------------
+
+def test_knn_vs_sklearn():
+    pts = _points(50, 1)
+    mask = np.ones(50, bool)
+    d_got, i_got = knn(pts, mask, 6)
+    nn = NearestNeighbors(n_neighbors=6).fit(pts)
+    d_want, i_want = nn.kneighbors(pts)
+    np.testing.assert_allclose(np.asarray(d_got), d_want, rtol=1e-4,
+                               atol=1e-4)
+    np.testing.assert_array_equal(np.asarray(i_got), i_want)
+
+
+def test_knn_feature_vectors_vs_reference_construction():
+    """Mirror ffn.py:294-304 feature building with sklearn."""
+    k = 20
+    pts = _points(40, 2, scale=1.0)
+    mask = np.ones(40, bool)
+    got = np.asarray(knn_feature_vectors(pts, mask, k))
+
+    nbors = NearestNeighbors(n_neighbors=k + 1).fit(pts)
+    want = np.zeros((40, 3 * k + 1), np.float32)
+    for i in range(40):
+        dist, idx = nbors.kneighbors(pts[i:i + 1])
+        mean_dist = np.mean(dist)
+        rel = (pts[idx[0, 1:k + 1]] - pts[idx[0, 0]]) / mean_dist
+        want[i, :3 * k] = rel.reshape(-1)
+        want[i, 3 * k] = mean_dist
+    np.testing.assert_allclose(got, want, rtol=1e-3, atol=1e-4)
+
+
+def test_knn_feature_vectors_masked_padding_invariant():
+    k = 5
+    pts = _points(30, 3)
+    mask = np.ones(30, bool)
+    full = np.asarray(knn_feature_vectors(pts, mask, k))
+    padded_pts = np.vstack([pts, np.full((10, 3), 777.0, np.float32)])
+    padded_mask = np.concatenate([mask, np.zeros(10, bool)])
+    padded = np.asarray(knn_feature_vectors(padded_pts, padded_mask, k))
+    np.testing.assert_allclose(padded[:30], full, rtol=1e-5)
+    assert np.all(padded[30:] == 0)
+
+
+# ---- normalize_points --------------------------------------------------------
+
+def test_normalize_points_vs_sklearn():
+    pts = _points(80, 4, scale=50.0).astype(np.float64)
+    got, (mean_g, scale_g) = normalize_points(pts.astype(np.float32))
+    mean = pts.mean(axis=0)
+    pca = PCA(n_components=1).fit(pts)
+    std = np.std(pca.transform(pts)[:, 0])
+    np.testing.assert_allclose(np.asarray(mean_g), mean, rtol=1e-5)
+    np.testing.assert_allclose(float(scale_g), 3 * std, rtol=1e-4)
+    np.testing.assert_allclose(np.asarray(got), (pts - mean) / (3 * std),
+                               rtol=1e-3, atol=1e-5)
+
+
+def test_normalize_points_masked():
+    pts = _points(40, 5)
+    padded = np.vstack([pts, np.full((8, 3), 1e4, np.float32)])
+    mask = np.concatenate([np.ones(40, bool), np.zeros(8, bool)])
+    got, (mean_g, scale_g) = normalize_points(padded, mask)
+    want, (mean_w, scale_w) = normalize_points(pts)
+    np.testing.assert_allclose(np.asarray(mean_g), np.asarray(mean_w),
+                               rtol=1e-5)
+    np.testing.assert_allclose(float(scale_g), float(scale_w), rtol=1e-5)
+
+
+# ---- greedy peel -------------------------------------------------------------
+
+def _simple_match_numpy(mat, threshold=0.1):
+    """Direct port of trackerlite.py:242-259."""
+    m = mat.copy()
+    pairs = []
+    for _ in range(m.shape[1]):
+        mx = m.max()
+        if mx < threshold:
+            break
+        tgt, ref = np.unravel_index(m.argmax(), m.shape)
+        pairs.append((ref, tgt))
+        m[tgt, :] = 0
+        m[:, ref] = 0
+    prob = np.full_like(mat, 0.1 / (mat.shape[1] - 1))
+    for ref, tgt in pairs:
+        prob[tgt, ref] = 0.9
+    return prob, pairs
+
+
+def test_simple_match_vs_numpy():
+    rng = np.random.RandomState(6)
+    mat = rng.rand(23, 19).astype(np.float32)
+    prob_got, pairs_got = simple_match(mat, threshold=0.1)
+    prob_want, pairs_want = _simple_match_numpy(mat, 0.1)
+    np.testing.assert_allclose(np.asarray(prob_got), prob_want, rtol=1e-6)
+    got_set = {(int(r), int(t)) for t, r in np.argwhere(np.asarray(pairs_got))}
+    assert got_set == set(pairs_want)
+
+
+def test_legacy_init_match():
+    rng = np.random.RandomState(7)
+    corr = rng.rand(12, 10).astype(np.float32)
+    got = np.asarray(legacy_init_match(corr, 0.5))
+    # port of track.py:58-70
+    n = 10
+    want = np.ones((12, 10)) / n
+    tmp = corr.copy()
+    for _ in range(n):
+        if tmp.max() < 0.5:
+            break
+        r, c = np.unravel_index(tmp.argmax(), tmp.shape)
+        want[r, :] = 0.1 / (n - 1)
+        want[r, c] = 0.9
+        tmp[r, :] = 0
+        tmp[:, c] = 0
+    np.testing.assert_allclose(got, want, rtol=1e-6)
+
+
+# ---- PR-GLS EM ---------------------------------------------------------------
+
+def _prgls_two_ref_numpy(init_match, tgt, ref, tracked, beta, lambda_,
+                         max_iteration=2000, vol=1.0):
+    """float64 port of trackerlite.py:309-358 (re-derived equations)."""
+    gamma = 0.05
+    g_nn = np.exp(-_d2(ref, ref) / (2 * beta ** 2))
+    g_ln = np.exp(-_d2(tracked, ref) / (2 * beta ** 2))
+    sigma_sq = _d2(tgt, ref).mean() / 3
+    pred_ref = ref.copy().astype(np.float64)
+    pred_tracked = tracked.copy().astype(np.float64)
+    post = None
+    for it in range(1, max_iteration):
+        k = np.exp(-_d2(tgt, pred_ref) / (2 * sigma_sq))
+        pj = (1 - gamma) * init_match * k / (2 * np.pi * sigma_sq) ** 1.5
+        denom = pj.sum(axis=1) + gamma / vol
+        post = pj / denom[:, None]
+        p1 = post.sum(axis=0)
+        a = g_nn @ np.diag(p1) + lambda_ * sigma_sq * np.eye(ref.shape[0])
+        b = tgt.T @ post - pred_ref.T @ np.diag(p1)
+        c = np.linalg.solve(a.T, b.T).T
+        mv_ref = (c @ g_nn).T
+        mv_trk = (c @ g_ln.T).T
+        if it > 1:
+            pred_ref = pred_ref + mv_ref
+            pred_tracked = pred_tracked + mv_trk
+        sp = post.sum()
+        gamma = max(1 - sp / tgt.shape[0], 1e-4)
+        sigma_sq = np.sum(_d2(tgt, pred_ref) * post) / (3 * sp)
+        if np.sqrt(np.sum(mv_ref ** 2)) < 1e-3:
+            break
+    return pred_tracked, post
+
+
+def _d2(a, b):
+    return ((a[:, None, :] - b[None, :, :]) ** 2).sum(-1)
+
+
+def _deformed_scene(seed=8, n=50):
+    """A ref point cloud and a smoothly deformed + permuted target."""
+    rng = np.random.RandomState(seed)
+    ref = rng.rand(n, 3).astype(np.float32) * 2 - 1
+    disp = 0.08 * np.sin(2.0 * ref[:, [1, 2, 0]]) + 0.02
+    tgt_full = ref + disp.astype(np.float32)
+    perm = rng.permutation(n)
+    tgt = tgt_full[perm]
+    # prior: matched pairs 0.9 as simple_match would produce
+    prior = np.full((n, n), 0.1 / (n - 1), np.float32)
+    for new_i, old_i in enumerate(perm):
+        prior[new_i, old_i] = 0.9
+    return ref, tgt, prior, perm, tgt_full
+
+
+def test_prgls_two_ref_matches_numpy_port():
+    ref, tgt, prior, perm, tgt_full = _deformed_scene()
+    res = prgls_with_two_ref(prior, tgt, ref, ref, beta=1.0, lambda_=3.0)
+    want_tracked, want_post = _prgls_two_ref_numpy(
+        prior.astype(np.float64), tgt.astype(np.float64),
+        ref.astype(np.float64), ref.astype(np.float64), 1.0, 3.0)
+    np.testing.assert_allclose(np.asarray(res.tracked), want_tracked,
+                               rtol=1e-3, atol=2e-4)
+    np.testing.assert_allclose(np.asarray(res.posterior), want_post,
+                               rtol=5e-2, atol=1e-4)
+
+
+def test_prgls_recovers_deformation():
+    ref, tgt, prior, perm, tgt_full = _deformed_scene(seed=9)
+    res = prgls_with_two_ref(prior, tgt, ref, ref, beta=1.0, lambda_=3.0)
+    err = np.linalg.norm(np.asarray(res.tracked) - tgt_full, axis=1)
+    # tracked positions should land close to the true deformed positions
+    assert np.median(err) < 0.02
+
+
+def test_prgls_masked_padding_invariant():
+    ref, tgt, prior, perm, tgt_full = _deformed_scene(seed=10, n=30)
+    res_full = prgls_with_two_ref(prior, tgt, ref, ref, beta=1.0,
+                                  lambda_=3.0)
+    pad_r, pad_t = 6, 4
+    ref_p = np.vstack([ref, np.full((pad_r, 3), 55.0, np.float32)])
+    tgt_p = np.vstack([tgt, np.full((pad_t, 3), -44.0, np.float32)])
+    prior_p = np.zeros((30 + pad_t, 30 + pad_r), np.float32)
+    prior_p[:30, :30] = prior
+    rm = np.concatenate([np.ones(30, bool), np.zeros(pad_r, bool)])
+    tm = np.concatenate([np.ones(30, bool), np.zeros(pad_t, bool)])
+    res_pad = prgls_with_two_ref(prior_p, tgt_p, ref_p, ref,
+                                 beta=1.0, lambda_=3.0,
+                                 tgt_mask=tm, ref_mask=rm)
+    np.testing.assert_allclose(np.asarray(res_pad.tracked),
+                               np.asarray(res_full.tracked),
+                               rtol=1e-3, atol=1e-4)
+
+
+def test_legacy_pr_gls_quick_matches_numpy_port():
+    rng = np.random.RandomState(11)
+    n = 25
+    x = (rng.rand(n, 3) * 50).astype(np.float32)
+    y_full = x + 2.0 * np.sin(x[:, [2, 0, 1]] / 10).astype(np.float32)
+    perm = rng.permutation(n)
+    y = y_full[perm]
+    corr = np.full((n, n), 0.01, np.float32)
+    for ni, oi in enumerate(perm):
+        corr[ni, oi] = 0.95
+
+    res = pr_gls_quick(x, y, corr, beta=30.0, max_iteration=10, lambda_=0.1,
+                       vol=1e8)
+
+    # float64 port of track.py:11-114
+    gamma = 0.1
+    gram = np.exp(-_d2(x, x) / (2 * 30.0 ** 2))
+    sigma_sq = _d2(x, y).sum() / (3 * n * n)
+    init_match = np.ones((n, n)) / n
+    tmp = corr.copy()
+    for _ in range(n):
+        if tmp.max() < 0.5:
+            break
+        r, c = np.unravel_index(tmp.argmax(), tmp.shape)
+        init_match[r, :] = 0.1 / (n - 1)
+        init_match[r, c] = 0.9
+        tmp[r, :] = 0
+        tmp[:, c] = 0
+    t_x = x.astype(np.float64).copy()
+    for it in range(1, 10):
+        dist_sq = _d2(y, t_x)
+        p1 = init_match * np.exp(-dist_sq / (2 * sigma_sq))
+        denom = p1.sum(1) + gamma * (2 * np.pi * sigma_sq) ** 1.5 / \
+            ((1 - gamma) * 1e8)
+        post = p1 / denom[:, None]
+        diag_p = post.sum(0)
+        a = gram @ np.diag(diag_p) + 0.1 * sigma_sq * np.eye(n)
+        b = y.T @ post - x.T @ np.diag(diag_p)
+        c = np.linalg.solve(a.T, b.T).T
+        t_x = (x.T + c @ gram).T
+        m_p = post.sum()
+        gamma = 1 - m_p / n
+        sigma_sq = max(np.sum(post * _d2(y, t_x)) / (3 * m_p), 1.0)
+
+    np.testing.assert_allclose(np.asarray(res.moved_ref), t_x, rtol=1e-3,
+                               atol=1e-3)
+    np.testing.assert_allclose(np.asarray(res.posterior), post, rtol=1e-2,
+                               atol=1e-4)
