@@ -93,3 +93,58 @@ def label_components(mask: jax.Array, connectivity: Optional[int] = None,
     """skimage-style label(): sequential labels 1..K, 0 background."""
     raw = label_components_raw(mask, connectivity, max_iters)
     return relabel_sequential(raw, max_labels)
+
+
+@functools.partial(jax.jit, static_argnames=("connectivity", "max_iters"))
+def label_components_values_raw(values: jax.Array,
+                                connectivity: Optional[int] = None,
+                                max_iters: int = 256) -> jax.Array:
+    """Connected components of an integer image where two voxels join only
+    when nonzero AND equal-valued (skimage.measure.label on a label image —
+    reference ``coord_image_transformer.py:641`` relabels touching cells of
+    different ids as distinct components)."""
+    ndim = values.ndim
+    conn = ndim if connectivity is None else int(connectivity)
+    offsets = neighbor_offsets(ndim, conn)
+    fg = values != 0
+    n = int(jnp.size(values))
+    init = jnp.where(
+        fg,
+        jnp.arange(1, n + 1, dtype=jnp.int32).reshape(values.shape),
+        jnp.int32(_BIG))
+
+    def hook(labels):
+        best = labels
+        for off in offsets:
+            n_lab = shift(labels, off, _BIG)
+            n_val = shift(values, off, 0)
+            same = (n_val == values) & fg
+            best = jnp.minimum(best, jnp.where(same, n_lab, _BIG))
+        return jnp.where(fg, jnp.minimum(labels, best), _BIG)
+
+    def jump(labels):
+        flat = labels.reshape(-1)
+        idx = jnp.clip(flat - 1, 0, n - 1)
+        parent = jnp.where(flat == _BIG, _BIG, flat.take(idx))
+        return parent.reshape(labels.shape)
+
+    def cond(carry):
+        labels, changed, it = carry
+        return changed & (it < max_iters)
+
+    def body(carry):
+        labels, _, it = carry
+        new = jump(jump(hook(labels)))
+        return new, jnp.any(new != labels), it + 1
+
+    labels, _, _ = jax.lax.while_loop(
+        cond, body, (init, jnp.bool_(True), jnp.int32(0)))
+    return jnp.where(fg, labels, 0).astype(jnp.int32)
+
+
+def label_components_values(values: jax.Array,
+                            connectivity: Optional[int] = None,
+                            max_labels: int = 4096,
+                            max_iters: int = 256) -> jax.Array:
+    raw = label_components_values_raw(values, connectivity, max_iters)
+    return relabel_sequential(raw, max_labels)

@@ -1,0 +1,242 @@
+"""Cell subregion atlas: z-interpolated per-cell masks + label synthesis.
+
+Rebuilds the reference's geometry stack:
+
+- ``gaussian_interpolation_3d`` (``coord_image_transformer.py:586-621``):
+  per cell, crop the bbox, repeat z by ``interpolation_factor``, gaussian
+  blur (sigma, 'constant'), threshold at the cell's occupancy percentile.
+- ``move_cells`` (``coord_image_transformer.py:292-369``): paste every
+  cell's boolean subregion at bbox + integer displacement with boundary
+  clipping, accumulating a label image and an overlap-count mask.
+
+TPU-first redesign:
+- Variable-size bboxes become ONE fixed-size box per cell (static shape =
+  max bbox extent), zero outside the true bbox, so the whole atlas is a
+  dense (n_cells, BX, BY, BZ*f) array; blurring is a single batched
+  separable conv (zero padding inside the fixed box equals the reference's
+  'constant' mode because the cell indicator is fully contained in its
+  bbox).
+- Pasting uses a canvas padded by the box size, so out-of-range clipping is
+  free (content landing in the margin is cropped away) — no per-cell shape
+  logic.
+- The downstream pipeline only ever reads the interpolated image at the
+  original z slices (``z_slice_original_labels``,
+  coord_image_transformer.py:238-240); ``move_cells_sampled`` pastes ONLY
+  those planes (one box z-plane in f), saving f x memory and bandwidth.
+  ``move_cells_full`` keeps full-resolution parity for tests/visualization.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .filters import gaussian_filter
+from .segment_reduce import find_objects_bounds
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class SubregionAtlas:
+    """Static-shape atlas of per-cell interpolated masks.
+
+    boxes:   (n, BX, BY, BZ*f) bool — cell mask in box coordinates; zero
+             outside the cell's true (interpolated) bbox.
+    origins: (n, 3) int32 — interp-frame position of box corner (x, y, z*f).
+    valid:   (n,) bool — real cells (padding rows for fixed n are False).
+    """
+    boxes: jax.Array
+    origins: jax.Array
+    valid: jax.Array
+    interpolation_factor: int = dataclasses.field(metadata=dict(static=True))
+    image_shape: Tuple[int, int, int] = dataclasses.field(
+        metadata=dict(static=True))    # original (x, y, z)
+
+    @property
+    def n_cells(self) -> int:
+        return self.boxes.shape[0]
+
+    @property
+    def box_shape(self) -> Tuple[int, int, int]:
+        return tuple(self.boxes.shape[1:])
+
+
+def _percentile_threshold(values: jax.Array, n_real: jax.Array,
+                          q: jax.Array) -> jax.Array:
+    """np.percentile(values[:n_real], q) with linear interpolation; values
+    beyond n_real must be +inf (sorted to the end)."""
+    v = jnp.sort(values)
+    rank = q / 100.0 * (n_real.astype(jnp.float32) - 1.0)
+    lo = jnp.floor(rank).astype(jnp.int32)
+    hi = jnp.ceil(rank).astype(jnp.int32)
+    frac = rank - lo.astype(jnp.float32)
+    return v[lo] * (1.0 - frac) + v[hi] * frac
+
+
+@functools.partial(jax.jit, static_argnames=(
+    "n_cells", "box_shape", "interpolation_factor", "smooth_sigma"))
+def build_subregion_atlas(label_image: jax.Array,
+                          n_cells: int,
+                          box_shape: Tuple[int, int, int],
+                          interpolation_factor: int = 10,
+                          smooth_sigma: float = 2.5) -> SubregionAtlas:
+    """Build the atlas from a labeled (x, y, z) volume.
+
+    ``box_shape`` is the static per-cell box in ORIGINAL z units; the stored
+    boxes have z size ``box_shape[2] * interpolation_factor``.  Cells whose
+    bbox exceeds ``box_shape`` are clipped (callers should size the box from
+    ``find_objects_bounds`` maxima).
+    """
+    f = int(interpolation_factor)
+    bx, by, bz = box_shape
+    mins, maxs = find_objects_bounds(label_image, n_cells)
+    valid = maxs[:, 0] >= mins[:, 0]
+    origins_raw = jnp.where(valid[:, None], mins, 0)
+
+    def one_cell(i):
+        o = origins_raw[i]
+        crop = jax.lax.dynamic_slice(label_image, (o[0], o[1], o[2]),
+                                     (bx, by, bz))
+        sub = (crop == (i + 1)).astype(jnp.float32)
+        # true bbox extents (clipped to the static box)
+        ext = jnp.minimum(maxs[i] - mins[i] + 1,
+                          jnp.asarray(box_shape, jnp.int32))
+        # mask out anything beyond the true bbox (content of other cells'
+        # labels is already excluded by the equality test; this bounds the
+        # percentile + threshold region like the reference's tight crop)
+        n_real_orig = ext[0] * ext[1] * ext[2]
+        nnz = jnp.sum(sub)
+        percentage = 1.0 - nnz / n_real_orig.astype(jnp.float32)
+
+        sub_rep = jnp.repeat(sub, f, axis=2)
+        smooth = gaussian_filter(sub_rep, smooth_sigma, mode="zero")
+
+        # percentile over the interpolated true-bbox region only
+        ii = jax.lax.broadcasted_iota(jnp.int32, smooth.shape, 0)
+        jj = jax.lax.broadcasted_iota(jnp.int32, smooth.shape, 1)
+        kk = jax.lax.broadcasted_iota(jnp.int32, smooth.shape, 2)
+        inside = (ii < ext[0]) & (jj < ext[1]) & (kk < ext[2] * f)
+        vals = jnp.where(inside, smooth, jnp.inf).reshape(-1)
+        n_real = n_real_orig * f
+        thr = _percentile_threshold(vals, n_real, percentage * 100.0)
+        return (smooth > thr) & inside
+
+    boxes = jax.vmap(one_cell)(jnp.arange(n_cells))
+    origins = jnp.stack([origins_raw[:, 0], origins_raw[:, 1],
+                         origins_raw[:, 2] * f], axis=1).astype(jnp.int32)
+    boxes = boxes & valid[:, None, None, None]
+    return SubregionAtlas(boxes, origins, valid, f,
+                          tuple(int(s) for s in label_image.shape))
+
+
+def _paste_loop(canvas_l, canvas_m, boxes, positions, include):
+    """Sequential scatter-add of per-cell boxes at dynamic positions."""
+    n = boxes.shape[0]
+
+    def body(i, carry):
+        cl, cm = carry
+        box = boxes[i].astype(jnp.int32) * include[i].astype(jnp.int32)
+        pos = positions[i]
+        patch_l = jax.lax.dynamic_slice(cl, pos, box.shape)
+        patch_m = jax.lax.dynamic_slice(cm, pos, box.shape)
+        cl = jax.lax.dynamic_update_slice(cl, patch_l + box * (i + 1), pos)
+        cm = jax.lax.dynamic_update_slice(cm, patch_m + box, pos)
+        return cl, cm
+
+    return jax.lax.fori_loop(0, n, body, (canvas_l, canvas_m))
+
+
+@jax.jit
+def move_cells_full(atlas: SubregionAtlas,
+                    movements: Optional[jax.Array] = None,
+                    include: Optional[jax.Array] = None
+                    ) -> Tuple[jax.Array, jax.Array]:
+    """Reference ``move_cells`` parity: full interpolated canvas
+    (x, y, z*f).  ``movements``: (n, 3) int32 in the interp frame.
+    ``include``: (n,) bool (False = cells_missed).  Returns (labels, overlap
+    count mask)."""
+    n = atlas.n_cells
+    if movements is None:
+        movements = jnp.zeros((n, 3), jnp.int32)
+    if include is None:
+        include = jnp.ones((n,), bool)
+    include = include & atlas.valid
+    f = atlas.interpolation_factor
+    x, y, z = atlas.image_shape
+    full_shape = (x, y, z * f)
+    bx, by, bzf = atlas.box_shape
+    pad = (bx, by, bzf)
+    canvas_shape = tuple(s + 2 * p for s, p in zip(full_shape, pad))
+    cl = jnp.zeros(canvas_shape, jnp.int32)
+    cm = jnp.zeros(canvas_shape, jnp.int32)
+    pos = atlas.origins + movements.astype(jnp.int32) + \
+        jnp.asarray(pad, jnp.int32)
+    # clamp so even fully-out-of-range cells stay inside the padded canvas
+    pos = jnp.clip(pos, 0, jnp.asarray(
+        [c - b for c, b in zip(canvas_shape, atlas.box_shape)], jnp.int32))
+    cl, cm = _paste_loop(cl, cm, atlas.boxes, pos, include)
+    sl = tuple(slice(p, p + s) for p, s in zip(pad, full_shape))
+    return cl[sl], cm[sl]
+
+
+@jax.jit
+def move_cells_sampled(atlas: SubregionAtlas,
+                       movements: Optional[jax.Array] = None,
+                       include: Optional[jax.Array] = None
+                       ) -> Tuple[jax.Array, jax.Array]:
+    """Like ``move_cells_full`` followed by sampling the original z slices
+    ``z = f//2, f//2 + f, ...`` (``z_slice_original_labels``), but pastes
+    only the needed box planes — f x less memory traffic.
+
+    Returns (labels, overlap mask) of shape (x, y, z)."""
+    n = atlas.n_cells
+    if movements is None:
+        movements = jnp.zeros((n, 3), jnp.int32)
+    if include is None:
+        include = jnp.ones((n,), bool)
+    include = include & atlas.valid
+    f = atlas.interpolation_factor
+    off = f // 2
+    x, y, z = atlas.image_shape
+    bx, by, bzf = atlas.box_shape
+    bz = bzf // f
+
+    pad = (bx, by, bz + 1)
+    canvas_shape = (x + 2 * pad[0], y + 2 * pad[1], z + 2 * pad[2])
+    cl = jnp.zeros(canvas_shape, jnp.int32)
+    cm = jnp.zeros(canvas_shape, jnp.int32)
+
+    pos_interp = atlas.origins + movements.astype(jnp.int32)
+    # boxes reshaped so plane index p = k*f + r
+    boxes_r = atlas.boxes.reshape(n, bx, by, bz, f)
+
+    def body(i, carry):
+        cl, cm = carry
+        z0 = pos_interp[i, 2]
+        # plane phase r with (z0 + p) ≡ off (mod f)
+        r = jnp.mod(off - z0, f)
+        planes = jax.lax.dynamic_slice(
+            boxes_r[i], (0, 0, 0, r), (bx, by, bz, 1))[..., 0]
+        box = planes.astype(jnp.int32) * include[i].astype(jnp.int32)
+        # sampled-frame z of plane k: s = (z0 + r - off)/f + k
+        s0 = (z0 + r - off) // f
+        pos = jnp.asarray([pos_interp[i, 0] + pad[0],
+                           pos_interp[i, 1] + pad[1],
+                           s0 + pad[2]], jnp.int32)
+        pos = jnp.clip(pos, 0, jnp.asarray(
+            [canvas_shape[0] - bx, canvas_shape[1] - by,
+             canvas_shape[2] - bz], jnp.int32))
+        patch_l = jax.lax.dynamic_slice(cl, pos, box.shape)
+        patch_m = jax.lax.dynamic_slice(cm, pos, box.shape)
+        cl = jax.lax.dynamic_update_slice(cl, patch_l + box * (i + 1), pos)
+        cm = jax.lax.dynamic_update_slice(cm, patch_m + box, pos)
+        return cl, cm
+
+    cl, cm = jax.lax.fori_loop(0, n, body, (cl, cm))
+    sl = tuple(slice(p, p + s) for p, s in zip(pad, (x, y, z)))
+    return cl[sl], cm[sl]

@@ -1,0 +1,196 @@
+"""Geometry stack goldens: subregion atlas vs a NumPy port of
+gaussian_interpolation_3d, move_cells parity, sampled-plane equivalence,
+and the accurate-correction round."""
+
+import numpy as np
+import pytest
+import scipy.ndimage as ndi
+
+from t3dct.ops.subregions import (build_subregion_atlas, move_cells_full,
+                                  move_cells_sampled)
+from t3dct.engine.correction import (accurate_correction_loop,
+                                     get_cells_on_boundary)
+
+
+def make_label_volume(shape=(30, 32, 6), seed=0):
+    """Three compact cells."""
+    lab = np.zeros(shape, np.int32)
+    lab[4:9, 5:10, 1:4] = 1
+    lab[15:22, 8:14, 2:5] = 2
+    lab[20:26, 22:29, 0:3] = 3
+    return lab
+
+
+def numpy_subregions(label_image, factor, sigma=2.5):
+    """Port of coord_image_transformer.py:586-621."""
+    bboxes = ndi.find_objects(label_image)
+    out = []
+    for label in range(1, label_image.max() + 1):
+        bbox = bboxes[label - 1]
+        sub = (label_image[bbox] == label).astype(np.float32)
+        percentage = 1 - np.count_nonzero(sub) / sub.size
+        sm = ndi.gaussian_filter(np.repeat(sub, factor, axis=2),
+                                 sigma=sigma, mode="constant")
+        thr = np.percentile(sm, percentage * 100)
+        ibox = (bbox[0], bbox[1],
+                slice(bbox[2].start * factor, bbox[2].stop * factor))
+        out.append((ibox, sm > thr))
+    return out
+
+
+def numpy_move_cells(subregions, shape, factor, movements=None, missed=()):
+    """Port of coord_image_transformer.py:292-369."""
+    x, y, z = shape
+    out = np.zeros((x, y, z * factor), np.int64)
+    mask = out.copy()
+    if movements is None:
+        movements = np.zeros((len(subregions), 3))
+    for i, (bbox, sub) in enumerate(subregions):
+        if (i + 1) in missed:
+            continue
+        new_bbox, part = [], []
+        ok = True
+        for s, c, size in zip(bbox, movements[i], (x, y, z * factor)):
+            ns_ = s.start + int(c)
+            ns = max(ns_, 0)
+            ps = ns - ns_
+            ne_ = s.stop + int(c)
+            ne = min(ne_, size)
+            pe = (s.stop - s.start) - (ne_ - ne)
+            new_bbox.append(slice(ns, ne))
+            part.append(slice(ps, pe))
+            if ns >= ne:
+                ok = False
+        if not ok:
+            continue
+        out[tuple(new_bbox)] += (sub * (i + 1)).astype(np.int64)[tuple(part)]
+        mask[tuple(new_bbox)] += sub.astype(np.int64)[tuple(part)]
+    return out, mask
+
+
+FACTOR = 4
+
+
+@pytest.fixture
+def atlas_and_ref():
+    lab = make_label_volume()
+    atlas = build_subregion_atlas(lab, n_cells=3, box_shape=(12, 12, 4),
+                                  interpolation_factor=FACTOR,
+                                  smooth_sigma=2.5)
+    ref_subs = numpy_subregions(lab, FACTOR)
+    # paste-parity tests use the ATLAS masks in reference (bbox, sub) format
+    # so they isolate the move_cells logic from f32/f64 threshold jitter
+    boxes = np.asarray(atlas.boxes)
+    atlas_subs = []
+    for i, (ibox, sub) in enumerate(ref_subs):
+        sx, sy, sz = (ibox[0].stop - ibox[0].start,
+                      ibox[1].stop - ibox[1].start,
+                      ibox[2].stop - ibox[2].start)
+        atlas_subs.append((ibox, boxes[i, :sx, :sy, :sz]))
+    return lab, atlas, atlas_subs
+
+
+def test_atlas_matches_reference_subregions(atlas_and_ref):
+    lab, atlas, _ = atlas_and_ref
+    ref_subs = numpy_subregions(lab, FACTOR)
+    boxes = np.asarray(atlas.boxes)
+    origins = np.asarray(atlas.origins)
+    for i, (ibox, sub) in enumerate(ref_subs):
+        assert origins[i, 0] == ibox[0].start
+        assert origins[i, 1] == ibox[1].start
+        assert origins[i, 2] == ibox[2].start
+        sx = ibox[0].stop - ibox[0].start
+        sy = ibox[1].stop - ibox[1].start
+        sz = ibox[2].stop - ibox[2].start
+        got = boxes[i, :sx, :sy, :sz]
+        # f32 (TPU) vs f64 (scipy) gaussian: voxels exactly at the
+        # percentile threshold may flip — require IoU >= 0.97 and that all
+        # mismatches sit at the region boundary (|smooth - thr| tiny there).
+        inter = np.logical_and(got, sub).sum()
+        union = np.logical_or(got, sub).sum()
+        assert inter / union >= 0.97, f"cell {i}: IoU {inter / union}"
+        # nothing outside the true bbox
+        assert boxes[i, sx:].sum() == 0
+        assert boxes[i, :, sy:].sum() == 0
+        assert boxes[i, :, :, sz:].sum() == 0
+
+
+def test_move_cells_full_parity(atlas_and_ref):
+    lab, atlas, ref_subs = atlas_and_ref
+    movements = np.array([[2, -1, 3], [-3, 2, 0], [1, 1, -2]], np.int32)
+    got_l, got_m = move_cells_full(atlas, movements)
+    want_l, want_m = numpy_move_cells(ref_subs, lab.shape, FACTOR, movements)
+    np.testing.assert_array_equal(np.asarray(got_l), want_l)
+    np.testing.assert_array_equal(np.asarray(got_m), want_m)
+
+
+def test_move_cells_clipping(atlas_and_ref):
+    lab, atlas, ref_subs = atlas_and_ref
+    # push cell 1 partially off the -x edge and cell 3 off the +y edge
+    movements = np.array([[-6, 0, 0], [0, 0, 0], [0, 6, 0]], np.int32)
+    got_l, _ = move_cells_full(atlas, movements)
+    want_l, _ = numpy_move_cells(ref_subs, lab.shape, FACTOR, movements)
+    np.testing.assert_array_equal(np.asarray(got_l), want_l)
+
+
+def test_move_cells_missed(atlas_and_ref):
+    lab, atlas, ref_subs = atlas_and_ref
+    include = np.array([True, False, True])
+    got_l, _ = move_cells_full(atlas, include=include)
+    want_l, _ = numpy_move_cells(ref_subs, lab.shape, FACTOR, missed={2})
+    np.testing.assert_array_equal(np.asarray(got_l), want_l)
+
+
+def test_move_cells_sampled_equals_full_sampling(atlas_and_ref):
+    lab, atlas, ref_subs = atlas_and_ref
+    rng = np.random.RandomState(0)
+    movements = rng.randint(-4, 5, size=(3, 3)).astype(np.int32)
+    full_l, full_m = move_cells_full(atlas, movements)
+    samp_l, samp_m = move_cells_sampled(atlas, movements)
+    off = FACTOR // 2
+    np.testing.assert_array_equal(np.asarray(samp_l),
+                                  np.asarray(full_l)[:, :, off::FACTOR])
+    np.testing.assert_array_equal(np.asarray(samp_m),
+                                  np.asarray(full_m)[:, :, off::FACTOR])
+
+
+def test_get_cells_on_boundary():
+    coords = np.array([
+        [3.0, 50.0, 5.0],     # x < 6
+        [50.0, 50.0, 5.0],    # interior
+        [165.0, 50.0, 5.0],   # x > (168-6)*1
+        [50.0, 50.0, -1.0],   # z < 0
+    ], np.float32)
+    got = np.asarray(get_cells_on_boundary(
+        coords, (168, 401, 128), (1.0, 1.0, 1.0), ensemble=False,
+        boundary_xy=6))
+    np.testing.assert_array_equal(got, [True, False, True, True])
+    got_e = np.asarray(get_cells_on_boundary(
+        coords, (168, 401, 128), (1.0, 1.0, 1.0), ensemble=True))
+    np.testing.assert_array_equal(got_e, [False, False, False, True])
+
+
+def test_accurate_correction_converges_to_prob_peaks(atlas_and_ref):
+    """Shift the prob map peaks slightly; correction must move coords."""
+    lab, atlas, ref_subs = atlas_and_ref
+    n = 3
+    f = FACTOR
+    # true cell centers (raw frame)
+    com = np.asarray(ndi.center_of_mass(lab > 0, lab, range(1, n + 1)))
+    coord_vol1 = com.astype(np.float32)
+    # prob map: ones inside true cells (so weighted center == cell centroid)
+    prob = (lab > 0).astype(np.float32)
+    # start coordinates displaced by 1-2 voxels in x/y
+    start = coord_vol1 + np.array([[1.5, 0, 0], [0, -1.5, 0], [1.0, 1.0, 0]],
+                                  np.float32)
+    boundary = np.zeros(n, bool)
+    coords, labels, overlap, it = accurate_correction_loop(
+        atlas, coord_vol1, start, prob, boundary, max_repetition=20)
+    coords = np.asarray(coords)
+    # corrected coordinates should be closer to the true centroids
+    err0 = np.abs(start - coord_vol1).max()
+    err1 = np.abs(coords - coord_vol1).max()
+    assert err1 < err0
+    assert int(it) >= 1
+    labels = np.asarray(labels)
+    assert set(np.unique(labels)) <= {0, 1, 2, 3}
