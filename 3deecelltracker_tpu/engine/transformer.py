@@ -1,0 +1,217 @@
+"""CoordsToImageTransformer: cell coordinates <-> label images.
+
+Rebuild of the reference class (``coord_image_transformer.py:144-558``):
+loads the proofed vol-1 segmentation, builds the z-interpolated subregion
+atlas, synthesizes label images from tracked coordinates, and runs the
+probability-weighted accurate-correction loop.
+
+Host side: file IO, atlas sizing, results tree.  Device side: atlas build,
+move-cells, correction loop, boundary recalculation (all jitted).
+"""
+
+from __future__ import annotations
+
+from glob import glob
+from pathlib import Path
+from typing import Optional, Set, Tuple, Union
+
+import jax.numpy as jnp
+import numpy as np
+
+from ..coordinates import Coordinates
+from ..io.artifacts import ResultsTree
+from ..io.imageio import imread_stack
+from ..ops.connected import label_components_values
+from ..ops.segment_reduce import center_of_mass, find_objects_bounds
+from ..ops.subregions import (SubregionAtlas, build_subregion_atlas,
+                              move_cells_full, move_cells_sampled)
+from ..ops.watershed import recalculate_cell_boundaries
+from .correction import accurate_correction_loop, get_cells_on_boundary
+
+BOUNDARY_XY = 6  # reference tracker.py:47
+
+
+def _relabel_sequential_np(labels: np.ndarray) -> np.ndarray:
+    """skimage.segmentation.relabel_sequential for host label volumes."""
+    uniq = np.unique(labels)
+    uniq = uniq[uniq != 0]
+    remap = np.zeros(int(labels.max()) + 1, labels.dtype)
+    remap[uniq] = np.arange(1, len(uniq) + 1)
+    return remap[labels]
+
+
+class CoordsToImageTransformer:
+    """See reference ``coord_image_transformer.py:144-167``."""
+
+    def __init__(self, results_folder: Union[str, Path], voxel_size):
+        self.voxel_size = tuple(float(v) for v in np.asarray(voxel_size))
+        self.tree = ResultsTree(results_folder)
+        self.results_folder = Path(results_folder)
+        self.proofed_segmentation: Optional[np.ndarray] = None
+        self.atlas: Optional[SubregionAtlas] = None
+        self.auto_corrected_segmentation: Optional[np.ndarray] = None
+        self.coord_vol1: Optional[Coordinates] = None
+        self.interpolation_factor: int = 1
+        self.use_8_bit: bool = True
+
+    # ---- segmentation loading (coord_image_transformer.py:169-190) --------
+    def load_segmentation(self, manual_vol_start_path: str) -> None:
+        slice_paths = sorted(glob(manual_vol_start_path))
+        if len(slice_paths) == 0:
+            raise FileNotFoundError(
+                f"No image in {manual_vol_start_path} was found")
+        seg = imread_stack(slice_paths).transpose(1, 2, 0).astype(np.int32)
+        self.proofed_segmentation = _relabel_sequential_np(seg)
+        n = int(np.count_nonzero(np.unique(self.proofed_segmentation)))
+        print(f"Loaded the proofed segmentations at vol 1 with {n} cells")
+
+    def load_segmentation_array(self, seg_xyz: np.ndarray) -> None:
+        """Array-input variant (for pipelines that keep vol-1 in memory)."""
+        self.proofed_segmentation = _relabel_sequential_np(
+            np.asarray(seg_xyz).astype(np.int32))
+
+    # ---- atlas build (coord_image_transformer.py:192-267) ------------------
+    def _box_shape_for(self, segmentation: np.ndarray, n_cells: int
+                       ) -> Tuple[int, int, int]:
+        mins, maxs = find_objects_bounds(jnp.asarray(segmentation), n_cells)
+        ext = np.maximum(np.asarray(maxs) - np.asarray(mins) + 1, 1)
+        bx, by, bz = ext.max(axis=0)
+        return int(bx), int(by), int(bz)
+
+    def _extract_regions(self, segmentation: np.ndarray,
+                         interpolation_factor: int, smooth_sigma: float):
+        n_cells = int(segmentation.max())
+        box_shape = self._box_shape_for(segmentation, n_cells)
+        atlas = build_subregion_atlas(
+            jnp.asarray(segmentation), n_cells=n_cells, box_shape=box_shape,
+            interpolation_factor=interpolation_factor,
+            smooth_sigma=smooth_sigma)
+        labels, overlap = move_cells_sampled(atlas)
+        auto_corrected = recalculate_cell_boundaries(
+            labels, overlap, sampling_xy=self.voxel_size[:2])
+        return atlas, np.asarray(auto_corrected)
+
+    def interpolate(self, interpolation_factor: int,
+                    smooth_sigma: float = 2.5, t_start: int = 1) -> None:
+        """Interpolate along z, fix labeling errors, rebuild subregions, and
+        persist vol-1 labels + center coordinates (reference :192-267)."""
+        if interpolation_factor <= 0:
+            raise ValueError("Interpolation factor must be greater than zero.")
+        if self.proofed_segmentation is None:
+            raise RuntimeError("call load_segmentation first")
+        self.interpolation_factor = int(interpolation_factor)
+
+        _, smoothed_labels = self._extract_regions(
+            self.proofed_segmentation, self.interpolation_factor,
+            smooth_sigma)
+
+        # fix_labeling_errors (coord_image_transformer.py:624-647)
+        n_before = int(np.count_nonzero(np.unique(smoothed_labels)))
+        corrected = np.asarray(label_components_values(
+            jnp.asarray(smoothed_labels), connectivity=3,
+            max_labels=max(64, 2 * n_before + 8)))
+        if int(corrected.max()) != n_before:
+            print(f"WARNING: cell count changed {n_before} -> "
+                  f"{int(corrected.max())}; segmentation corrected.")
+
+        self.atlas, self.auto_corrected_segmentation = \
+            self._extract_regions(corrected, self.interpolation_factor,
+                                  smooth_sigma)
+        self.use_8_bit = int(self.auto_corrected_segmentation.max()) <= 255
+
+        self.tree.save_tracked_labels(self.auto_corrected_segmentation,
+                                      t_start, self.use_8_bit)
+
+        n_cells = self.atlas.n_cells
+        com = np.asarray(center_of_mass(
+            jnp.asarray(self.auto_corrected_segmentation > 0, jnp.float32),
+            jnp.asarray(self.auto_corrected_segmentation), n_cells))
+        self.coord_vol1 = Coordinates.from_raw(
+            com, self.interpolation_factor, self.voxel_size)
+        self.tree.save_coords_real(t_start, np.asarray(self.coord_vol1.real))
+
+    # ---- label synthesis (coord_image_transformer.py:269-369) --------------
+    def move_cells(self, movements_nx3: Optional[np.ndarray] = None,
+                   cells_missed: Optional[Set[int]] = None,
+                   full_resolution: bool = False):
+        include = self._include_mask(cells_missed)
+        fn = move_cells_full if full_resolution else move_cells_sampled
+        mv = None if movements_nx3 is None else jnp.asarray(
+            movements_nx3, jnp.int32)
+        return fn(self.atlas, mv, include)
+
+    def move_cells_in_3d_image(self,
+                               movements_nx3: Optional[np.ndarray] = None,
+                               cells_missed: Optional[Set[int]] = None
+                               ) -> np.ndarray:
+        labels, overlap = self.move_cells(movements_nx3, cells_missed)
+        return np.asarray(recalculate_cell_boundaries(
+            labels, overlap, sampling_xy=self.voxel_size[:2]))
+
+    def _include_mask(self, cells_missed) -> jnp.ndarray:
+        include = np.ones(self.atlas.n_cells, bool)
+        if cells_missed:
+            for label in cells_missed:
+                if 1 <= label <= self.atlas.n_cells:
+                    include[label - 1] = False
+        return jnp.asarray(include)
+
+    # ---- boundary + correction (coord_image_transformer.py:371-489) --------
+    def get_cells_on_boundary(self, coordinates_real_nx3, ensemble: bool,
+                              boundary_xy: int = BOUNDARY_XY) -> np.ndarray:
+        mask = get_cells_on_boundary(
+            jnp.asarray(coordinates_real_nx3, jnp.float32),
+            self.proofed_segmentation.shape, self.voxel_size,
+            ensemble=ensemble, boundary_xy=boundary_xy)
+        return np.where(np.asarray(mask))[0] + 1
+
+    def load_prob_map(self, t: int, grid: Tuple[int, int, int],
+                      fmt: str = "prob%06d.npy") -> np.ndarray:
+        """seg/prob*.npy upsampled by the StarDist grid and cropped
+        (coord_image_transformer.py:431-435)."""
+        prob = self.tree.load_seg_prob(t, fmt)
+        prob = np.repeat(np.repeat(np.repeat(
+            prob, grid[1], axis=0), grid[2], axis=1), grid[0], axis=2)
+        x, y, z = self.proofed_segmentation.shape
+        return prob[:x, :y, :z].astype(np.float32)
+
+    def accurate_correction(self, t: int, grid: Tuple[int, int, int],
+                            coords: Coordinates, ensemble: bool,
+                            max_repetition: int = 20,
+                            format: str = "prob%06d.npy",
+                            prob_map: Optional[np.ndarray] = None):
+        """Probability-weighted center refinement (reference :406-447).
+
+        Returns (corrected Coordinates, corrected labels image)."""
+        if prob_map is None:
+            prob_map = self.load_prob_map(t, grid, format)
+        boundary = get_cells_on_boundary(
+            jnp.asarray(coords.real), self.proofed_segmentation.shape,
+            self.voxel_size, ensemble=ensemble, boundary_xy=BOUNDARY_XY)
+        corrected_raw, labels, overlap, _ = accurate_correction_loop(
+            self.atlas, self.coord_vol1.raw_f32,
+            jnp.asarray(coords.raw_f32), jnp.asarray(prob_map), boundary,
+            max_repetition=max_repetition)
+        corrected = Coordinates(corrected_raw, self.interpolation_factor,
+                                tuple(self.voxel_size))
+        corrected_labels = np.asarray(recalculate_cell_boundaries(
+            labels, overlap, sampling_xy=self.voxel_size[:2]))
+        return corrected, corrected_labels
+
+    # ---- persistence (coord_image_transformer.py:491-558) ------------------
+    def save_tracking_results(self, coords: Coordinates,
+                              corrected_labels_image: np.ndarray,
+                              t2: int,
+                              images_path=None, tracker=None,
+                              t1: Optional[int] = None) -> None:
+        self.tree.save_coords_real(t2, np.asarray(coords.real))
+        self.tree.save_tracked_labels(corrected_labels_image, t2,
+                                      self.use_8_bit)
+        if images_path is not None:
+            try:
+                from ..viz import save_merged_labels
+                save_merged_labels(self.tree, corrected_labels_image,
+                                   images_path, t2,
+                                   self.interpolation_factor)
+            except Exception as e:  # visualization must never kill tracking
+                print(f"merged-label figure skipped: {e}")

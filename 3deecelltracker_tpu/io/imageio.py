@@ -1,0 +1,140 @@
+"""TIFF/HDF5 volume loading and label saving.
+
+Honors the reference's user data contracts (SURVEY Appendix A):
+- per-(t) TIFF globs ``"*t%03d*.tif"`` of 2-D z slices
+  (``stardistwrapper.py:50-72``),
+- legacy per-(t,z) patterns ``"raw_t%04i_z%04i.tif"`` (``tracker.py:113``),
+- HDF5 dataset of shape (T, C, Z, Y, X) addressed by
+  ``{"h5_file": ..., "channel": ..., "dset": "default"}``,
+- directory-of-slices volumes (``preprocess.py:59-82``),
+- output TIFF series ``track_results_t%06i_z%04i.tif`` with LZW
+  (``coord_image_transformer.py:561-583``).
+
+Implemented with PIL + h5py (the reference additionally used tifffile;
+PIL covers single-page grayscale TIFFs, which is the data contract here).
+"""
+
+from __future__ import annotations
+
+import os
+import re
+from glob import glob
+from pathlib import Path
+from typing import Dict, List, Tuple, Union
+
+import numpy as np
+from PIL import Image
+
+PathPattern = Union[str, Dict]
+
+
+def imread(path: str) -> np.ndarray:
+    with Image.open(path) as img:
+        return np.asarray(img)
+
+
+def imread_stack(paths: List[str]) -> np.ndarray:
+    return np.stack([imread(p) for p in paths], axis=0)
+
+
+def percentile_normalize(x: np.ndarray, pmin: float = 1.0,
+                         pmax: float = 99.8,
+                         eps: float = 1e-20) -> np.ndarray:
+    """csbdeep.utils.normalize semantics (``stardistwrapper.py:71``)."""
+    x = x.astype(np.float32, copy=False)
+    mi = np.percentile(x, pmin)
+    ma = np.percentile(x, pmax)
+    return (x - mi) / (ma - mi + eps)
+
+
+def load_image(folder_path: str) -> np.ndarray:
+    """3-D volume from a folder of 2-D slices, (x, y, z) layout
+    (``preprocess.py:59-82``)."""
+    files = sorted(
+        os.path.join(folder_path, f) for f in os.listdir(folder_path))
+    img = imread_stack(files)          # (z, x, y)
+    return img.transpose(1, 2, 0)      # (x, y, z)
+
+
+def load_2d_slices_at_time(images_path: PathPattern, t: int,
+                           do_normalize: bool = True) -> np.ndarray:
+    """All 2-D slices at time t as a (z, y, x) stack
+    (``stardistwrapper.py:50-72``)."""
+    if isinstance(images_path, str):
+        ext = os.path.splitext(images_path)[1]
+        if ext not in (".tif", ".tiff"):
+            raise AssertionError(
+                "Only TIFF sequences or HDF5 datasets are supported")
+        paths = sorted(glob(images_path % t))
+        if len(paths) == 0:
+            raise FileNotFoundError(f"No image at time {t} was found")
+        x = imread_stack(paths)
+    elif isinstance(images_path, dict):
+        ext = os.path.splitext(images_path["h5_file"])[1]
+        if ext not in (".h5", ".hdf5"):
+            raise AssertionError(
+                "Only TIFF sequences or HDF5 datasets are supported")
+        import h5py
+        with h5py.File(images_path["h5_file"], "r") as f:
+            dset = images_path.get("dset", "default")
+            x = f[dset][t - 1, images_path["channel"], :, :, :]
+    else:
+        raise ValueError(
+            "images_path should be a str (TIFF) or dict (HDF5)")
+    if do_normalize:
+        return percentile_normalize(x)
+    return x
+
+
+def get_t_range(images_path: PathPattern) -> Tuple[int, int]:
+    """(largest, smallest) time index (``stardistwrapper.py:114-137``)."""
+    if isinstance(images_path, str):
+        p = Path(images_path)
+        filenames = glob(str(p.parent / ("*t*" + p.suffix)))
+        assert len(filenames) > 0, f"No image files found near {p}"
+        numbers = [int(re.findall(r"t(\d+)", Path(f).name)[0])
+                   for f in filenames]
+        return max(numbers), min(numbers)
+    elif isinstance(images_path, dict):
+        import h5py
+        with h5py.File(images_path["h5_file"], "r") as f:
+            t_max = f[images_path.get("dset", "default")].shape[0]
+        return t_max, 1
+    raise ValueError("images_path should be a str (TIFF) or dict (HDF5)")
+
+
+def read_image_ts(vol: int, path_pattern: str, z_range: Tuple[int, int]
+                  ) -> np.ndarray:
+    """Legacy per-(t, z) loader (``tracker.py:113-133``): (x, y, z)."""
+    slices = [imread(path_pattern % (vol, z))
+              for z in range(z_range[0], z_range[1])]
+    return np.stack(slices, axis=2)
+
+
+def save_label_slices(labels_xyz: np.ndarray, out_dir: Union[str, Path],
+                      name_pattern: str, t: int,
+                      use_8_bit: bool = True,
+                      compression: str = "tiff_lzw") -> None:
+    """Write a labeled (x, y, z) volume as per-z TIFFs
+    (``coord_image_transformer.py:561-583``)."""
+    out = Path(out_dir)
+    out.mkdir(parents=True, exist_ok=True)
+    dtype = np.uint8 if use_8_bit else np.uint16
+    for z in range(1, labels_xyz.shape[2] + 1):
+        img2d = np.asarray(labels_xyz[:, :, z - 1]).astype(dtype)
+        with Image.fromarray(img2d) as img:
+            img.save(str(out / (name_pattern % (t, z))),
+                     compression=compression)
+
+
+def save_volume_slices(labels_xyz: np.ndarray, out_dir: Union[str, Path],
+                       name_pattern: str) -> None:
+    """Write per-z TIFFs with a z-only pattern (``auto_vol1_z%04i.tif``,
+    stardistwrapper.py:140-146)."""
+    out = Path(out_dir)
+    out.mkdir(parents=True, exist_ok=True)
+    arr = np.asarray(labels_xyz)
+    dtype = np.uint8 if arr.max() <= 255 else np.uint16
+    for z in range(1, arr.shape[2] + 1):
+        with Image.fromarray(arr[:, :, z - 1].astype(dtype)) as img:
+            img.save(str(out / (name_pattern % z)))

@@ -45,20 +45,32 @@ def _peel_loop(match_matrix: jax.Array, threshold: float
 
 
 @functools.partial(jax.jit, static_argnames=("threshold",))
-def simple_match(initial_match_matrix: jax.Array, threshold: float = 0.1
+def simple_match(initial_match_matrix: jax.Array, threshold: float = 0.1,
+                 ref_mask=None, tgt_mask=None
                  ) -> Tuple[jax.Array, jax.Array]:
     """``trackerlite.simple_match``: every entry gets prior 0.1/(n-1);
     matched (tgt, ref) pairs get 0.9.
 
-    Note the reference peels strictly-greater-than... it breaks when
-    ``max < threshold`` i.e. continues while max >= threshold; replicated.
+    With padded point sets, pass ``ref_mask``/``tgt_mask``: the prior base
+    uses the VALID ref count (the reference's n is the true segmented
+    count), and padded pairs get zero prior.
+
+    Note the reference peels while ``max >= threshold``; replicated.
 
     Returns (normalized_prob (m, n), pair mask (m, n) bool).
     """
-    pairs, _, _ = _peel_loop(initial_match_matrix, threshold)
-    n = initial_match_matrix.shape[1]
-    prob = jnp.full(initial_match_matrix.shape, 0.1 / (n - 1), jnp.float32)
-    return jnp.where(pairs, 0.9, prob), pairs
+    m, n = initial_match_matrix.shape
+    if ref_mask is None:
+        ref_mask = jnp.ones((n,), bool)
+    if tgt_mask is None:
+        tgt_mask = jnp.ones((m,), bool)
+    mat = jnp.where(tgt_mask[:, None] & ref_mask[None, :],
+                    initial_match_matrix, 0.0)
+    pairs, _, _ = _peel_loop(mat, threshold)
+    n_valid = jnp.sum(ref_mask.astype(jnp.float32))
+    base = 0.1 / (n_valid - 1.0)
+    prob = jnp.where(tgt_mask[:, None] & ref_mask[None, :], base, 0.0)
+    return jnp.where(pairs, 0.9, prob).astype(jnp.float32), pairs
 
 
 @functools.partial(jax.jit, static_argnames=("threshold",))

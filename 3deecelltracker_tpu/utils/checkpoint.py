@@ -1,0 +1,53 @@
+"""Pytree checkpointing to .npz (model weights, optimizer state).
+
+The reference checkpoints Keras .h5 weights at every val-loss improvement
+(``unet3d.py:566-573``, ``ffn.py:211-213``); here any JAX pytree round-trips
+through a flat .npz keyed by its tree path — dependency-free and
+human-inspectable.  (Orbax is available for large sharded states; .npz is
+the default for these small models.)
+"""
+
+from __future__ import annotations
+
+from pathlib import Path
+from typing import Any, Union
+
+import jax
+import numpy as np
+
+
+def _path_str(path) -> str:
+    parts = []
+    for p in path:
+        if hasattr(p, "key"):
+            parts.append(str(p.key))
+        elif hasattr(p, "idx"):
+            parts.append(str(p.idx))
+        else:
+            parts.append(str(p))
+    return "/".join(parts)
+
+
+def save_pytree(tree: Any, path: Union[str, Path]) -> None:
+    flat, _ = jax.tree_util.tree_flatten_with_path(tree)
+    arrays = {_path_str(p): np.asarray(v) for p, v in flat}
+    Path(path).parent.mkdir(parents=True, exist_ok=True)
+    np.savez(str(path), **arrays)
+
+
+def load_pytree(template: Any, path: Union[str, Path]) -> Any:
+    """Load arrays saved by ``save_pytree`` into the structure of
+    ``template`` (shapes/keys must match)."""
+    data = np.load(str(path))
+    flat, treedef = jax.tree_util.tree_flatten_with_path(template)
+    leaves = []
+    for p, v in flat:
+        key = _path_str(p)
+        if key not in data:
+            raise KeyError(f"checkpoint {path} missing leaf {key}")
+        arr = data[key]
+        if arr.shape != np.shape(v):
+            raise ValueError(
+                f"leaf {key}: shape {arr.shape} != template {np.shape(v)}")
+        leaves.append(arr)
+    return jax.tree_util.tree_unflatten(treedef, leaves)

@@ -1,0 +1,193 @@
+"""Visualization: matching figures, merged-label overlays, signal grids.
+
+Rebuilds the reference's Draw/plot helpers (``tracker.py:191-461``,
+``coord_image_transformer.py:650-779``, ``trackerlite.py:204-239``,
+``analyses.py:113-187``) on matplotlib + PIL.  Import is lazy everywhere in
+the engine so headless/TPU-pod runs never require a display.
+"""
+
+from __future__ import annotations
+
+from pathlib import Path
+from typing import Optional, Tuple
+
+import numpy as np
+
+import matplotlib
+matplotlib.use("Agg")
+import matplotlib.pyplot as plt  # noqa: E402
+from matplotlib.patches import ConnectionPatch  # noqa: E402
+from PIL import Image  # noqa: E402
+
+
+def random_label_cmap(n: int = 2 ** 16, seed: int = 42):
+    """Random label colormap (stardist ``random_label_cmap`` equivalent,
+    stardistwrapper.py:36)."""
+    rng = np.random.RandomState(seed)
+    h = rng.uniform(0, 1, n)
+    s = rng.uniform(0.4, 1.0, n)
+    v = rng.uniform(0.6, 1.0, n)
+    import colorsys
+    cols = np.asarray([colorsys.hsv_to_rgb(hi, si, vi)
+                       for hi, si, vi in zip(h, s, v)])
+    cols[0] = 0
+    from matplotlib.colors import ListedColormap
+    cmap = ListedColormap(cols)
+    cmap.colors = cols
+    return cmap
+
+
+lbl_cmap = random_label_cmap()
+
+
+def plot_two_pointset_scatters(ref_ptrs, tgt_ptrs, t1, t2,
+                               fig_width_px=1200, dpi=96):
+    """coord_image_transformer.py:702-757."""
+    w_in = fig_width_px / dpi
+    h_in = w_in / 1.618
+    ry, rx = (np.ptp(ref_ptrs[:, 0]), np.ptp(ref_ptrs[:, 1]))
+    ty, tx = (np.ptp(tgt_ptrs[:, 0]), np.ptp(tgt_ptrs[:, 1]))
+    top_down = rx + tx >= ry + ty
+    if top_down:
+        fig, (ax1, ax2) = plt.subplots(2, 1, figsize=(w_in, h_in))
+    else:
+        fig, (ax1, ax2) = plt.subplots(1, 2, figsize=(w_in, h_in))
+    ax1.scatter(ref_ptrs[:, 1], -ref_ptrs[:, 0], facecolors="b",
+                edgecolors="b")
+    ax2.scatter(tgt_ptrs[:, 1], -tgt_ptrs[:, 0], facecolors="b",
+                edgecolors="b")
+    xl = [min(ax1.get_xlim()[0], ax2.get_xlim()[0]),
+          max(ax1.get_xlim()[1], ax2.get_xlim()[1])]
+    yl = [min(ax1.get_ylim()[0], ax2.get_ylim()[0]),
+          max(ax1.get_ylim()[1], ax2.get_ylim()[1])]
+    for ax in (ax1, ax2):
+        ax.set_xlim(xl)
+        ax.set_ylim(yl)
+    if top_down:
+        ax1.set_ylabel(f"Point Set t={t1}")
+        ax2.set_ylabel(f"Point Set t={t2}")
+    else:
+        ax1.set_title(f"Point Set t={t1}")
+        ax2.set_title(f"Point Set t={t2}")
+    return ax1, ax2, fig
+
+
+def plot_prgls_prediction(ref_ptrs, tgt_ptrs, predicted_ref_ptrs, t1, t2,
+                          fig_width_px=1200, dpi=96):
+    """coord_image_transformer.py:650-699."""
+    ax1, ax2, fig = plot_two_pointset_scatters(ref_ptrs, tgt_ptrs, t1, t2,
+                                               fig_width_px, dpi)
+    for ref_ptr, tgt_ptr in zip(ref_ptrs, predicted_ref_ptrs):
+        con = ConnectionPatch(
+            xyA=(tgt_ptr[1], -tgt_ptr[0]), xyB=(ref_ptr[1], -ref_ptr[0]),
+            coordsA="data", coordsB="data", axesA=ax2, axesB=ax1,
+            color="C1")
+        ax2.add_artist(con)
+    return fig
+
+
+def plot_initial_matching(ref_ptrs, tgt_ptrs, pairs_px2, t1, t2,
+                          fig_width_px=1200, dpi=96):
+    """trackerlite.py:204-239."""
+    ax1, ax2, fig = plot_two_pointset_scatters(ref_ptrs, tgt_ptrs, t1, t2,
+                                               fig_width_px, dpi)
+    for ref_index, tgt_index in pairs_px2:
+        con = ConnectionPatch(
+            xyA=(tgt_ptrs[tgt_index, 1], -tgt_ptrs[tgt_index, 0]),
+            xyB=(ref_ptrs[ref_index, 1], -ref_ptrs[ref_index, 0]),
+            coordsA="data", coordsB="data", axesA=ax2, axesB=ax1,
+            color="C1")
+        ax2.add_artist(con)
+    return fig
+
+
+def save_matching_figure(tree, confirmed_t1_real, seg_t2_real, coords_real,
+                         t1: int, t2: int) -> None:
+    """Per-volume matching PNG (coord_image_transformer.py:516-522)."""
+    fig = plot_prgls_prediction(confirmed_t1_real, seg_t2_real, coords_real,
+                                t1, t2)
+    tree.figure_dir.mkdir(parents=True, exist_ok=True)
+    fig.savefig(tree.figure_dir / f"matching_{t2:06d}.png",
+                facecolor="white")
+    plt.close(fig)
+
+
+def save_merged_labels(tree, corrected_labels_image, images_path, t: int,
+                       interpolation_factor: int) -> None:
+    """Overlay of labels + raw, x-y and x-z max projections
+    (coord_image_transformer.py:524-558)."""
+    from .io.imageio import load_2d_slices_at_time
+    lab = np.asarray(corrected_labels_image)
+    labels_rgb = lbl_cmap.colors[lab.max(axis=2) % len(lbl_cmap.colors)]
+    labels_rgb = Image.fromarray((labels_rgb * 255).astype(np.uint8))
+    labels_rgb_xz = lbl_cmap.colors[lab.max(axis=0) % len(lbl_cmap.colors)]
+    labels_rgb_xz = np.repeat(labels_rgb_xz.transpose(1, 0, 2),
+                              interpolation_factor, axis=0)
+    labels_rgb_xz = Image.fromarray((labels_rgb_xz * 255).astype(np.uint8))
+
+    raw = load_2d_slices_at_time(images_path, t=t)
+    raw_img = raw.max(axis=0)
+    raw_rgb = Image.fromarray(
+        (raw_img * 255 / raw_img.max()).astype(np.uint8)).convert("RGB")
+    raw_xz = np.repeat(raw.max(axis=1), interpolation_factor, axis=0)
+    raw_rgb_xz = Image.fromarray(
+        (raw_xz * 255 / raw_xz.max()).astype(np.uint8)).convert("RGB")
+
+    merged = Image.blend(labels_rgb, raw_rgb, alpha=0.5)
+    merged_xz = Image.blend(labels_rgb_xz, raw_rgb_xz, alpha=0.5)
+    d1 = tree.root / "track_results" / "merged_labels"
+    d2 = tree.root / "track_results" / "merged_labels_xz"
+    d1.mkdir(parents=True, exist_ok=True)
+    d2.mkdir(parents=True, exist_ok=True)
+    merged.save(str(d1 / ("merged_labels_t%06d.png" % t)))
+    merged_xz.save(str(d2 / ("merged_labels_xz_t%06d.png" % t)))
+
+
+def optimize_row_column(duration, n_signals, figsize):
+    """analyses.py:113-146."""
+    whr = figsize[0] / figsize[1]
+    total = duration * n_signals
+    row_n = int((total / (50 * whr)) ** 0.5)
+    col_n = int(np.ceil(n_signals / row_n))
+    return row_n, col_n
+
+
+def draw_signals(signals, ylim_upper=None, ylim_lower=None,
+                 figsize=(20, 10)):
+    """Per-cell activity grid (analyses.py:149-187)."""
+    row_n, col_n = optimize_row_column(signals.shape[0], signals.shape[1],
+                                       figsize)
+    fig, axes = plt.subplots(row_n, col_n, figsize=figsize, squeeze=False)
+    for row in range(row_n):
+        for col in range(col_n):
+            n = row * col_n + col
+            if n >= signals.shape[1]:
+                break
+            ax = axes[row, col]
+            ax.plot(signals[:, n], lw=2)
+            up = ylim_upper if ylim_upper is not None else \
+                np.nanmax(signals[:, n])
+            lo = ylim_lower if ylim_lower is not None else \
+                np.nanmin(signals[:, n])
+            ax.set_ylim(lo, up)
+            ax.set_title("N%d" % (n + 1), va="top")
+            if row < row_n - 1:
+                ax.get_xaxis().set_visible(False)
+    plt.subplots_adjust(left=0.02, bottom=0.02, right=0.98, top=0.98,
+                        wspace=0.2, hspace=0.2)
+    return fig, axes
+
+
+def draw_segmentation_max_projection(image3d, labels3d, path: Optional[str]
+                                     = None):
+    """Seg result overlay (tracker.py:212-252 style)."""
+    fig, (a, b) = plt.subplots(1, 2, figsize=(14, 7))
+    a.imshow(np.max(image3d, axis=2), cmap="gray")
+    a.set_title("raw (max projection)")
+    b.imshow(np.max(labels3d, axis=2) % len(lbl_cmap.colors),
+             cmap=lbl_cmap, interpolation="none")
+    b.set_title("segmentation")
+    if path:
+        fig.savefig(path, facecolor="white")
+        plt.close(fig)
+    return fig
