@@ -1,0 +1,126 @@
+"""U-Net segmentation engine: volume -> cell instances -> centers.
+
+Rebuild of ``Segmentation._segment`` (``tracker.py:605-684``): local
+contrast normalization, tiled 3D U-Net inference, per-z 2-D watershed, 3-D
+anisotropic watershed with size filtering, sequential relabeling, centers of
+mass.  The whole device path (LCN -> batched tiles -> U-Net -> stitching) is
+one jitted function; watershed runs as a second jitted stage so the U-Net
+probability cache (``unet_cache`` parity) can sit between them.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+from pathlib import Path
+from typing import NamedTuple, Optional, Tuple, Union
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import SegmentationConfig
+from ..models.unet3d import UNet3D
+from ..ops.connected import relabel_sequential
+from ..ops.lcn import normalize_image
+from ..ops.segment_reduce import center_of_mass
+from ..ops.tiling import (extract_tiles, pad_for_tiles, plan_tiles,
+                          stitch_tiles)
+from ..ops.watershed import watershed_2d, watershed_3d
+
+
+class SegResult(NamedTuple):
+    """Parity with the reference's ``SegResults`` (tracker.py:464-496)."""
+    image_cell_bg: np.ndarray          # U-Net probability volume
+    l_center_coordinates: np.ndarray   # centers in voxel units (n, 3)
+    segmentation_auto: np.ndarray      # instance labels
+    image_gcn: np.ndarray              # raw / 65536 (correction weighting)
+    r_coordinates_segment: np.ndarray  # centers with z scaled by z_xy_ratio
+
+
+class UNetSegmenter:
+    """Device-resident U-Net + watershed segmentation for one volume shape."""
+
+    def __init__(self, model: UNet3D, params, state,
+                 config: SegmentationConfig,
+                 vol_shape: Tuple[int, int, int],
+                 max_cells: int = 1024,
+                 compute_dtype=jnp.bfloat16):
+        self.model = model
+        self.params = params
+        self.state = state
+        self.config = config
+        self.vol_shape = tuple(int(s) for s in vol_shape)
+        self.max_cells = int(max_cells)
+        self.compute_dtype = compute_dtype
+        self.plan = plan_tiles(self.vol_shape, model.tile_shape,
+                               config.shrink)
+        self._predict = jax.jit(self._predict_impl)
+        self._watershed = jax.jit(self._watershed_impl,
+                                  static_argnames=("method",))
+
+    # ---- stage 1: LCN + tiled U-Net (tracker.py:662-669) -------------------
+    def _predict_impl(self, params, state, image_raw):
+        norm = normalize_image(image_raw, self.config.noise_level)
+        padded = pad_for_tiles(norm, self.plan)
+        tiles = extract_tiles(padded, self.plan)
+        probs, _ = self.model.apply(params, state, tiles[..., None],
+                                    train=False,
+                                    compute_dtype=self.compute_dtype)
+        return stitch_tiles(probs[..., 0], self.plan)
+
+    def predict_cellregions(self, image_raw: np.ndarray,
+                            cache_path: Optional[Union[str, Path]] = None
+                            ) -> jax.Array:
+        """U-Net probabilities with the reference's float16 on-disk cache
+        (``unet_cache/t%06i.npy``, tracker.py:652-669)."""
+        if cache_path is not None and Path(cache_path).exists():
+            return jnp.asarray(np.load(cache_path).astype(np.float32))
+        probs = self._predict(self.params, self.state,
+                              jnp.asarray(image_raw, jnp.float32))
+        if cache_path is not None:
+            Path(cache_path).parent.mkdir(parents=True, exist_ok=True)
+            np.save(str(cache_path), np.asarray(probs, np.float16))
+        return probs
+
+    # ---- stage 2: watershed (tracker.py:671-684) -----------------------------
+    def _watershed_impl(self, image_cell_bg, method: str):
+        cfg = self.config
+        ws2d, _ = watershed_2d(image_cell_bg,
+                               min_distance=cfg.min_distance_2d)
+        labels_wo_bd, labels_clear, min_size, cell_num = watershed_3d(
+            ws2d, samplingrate=(1.0, 1.0, cfg.z_xy_ratio), method=method,
+            min_size=cfg.min_size, cell_num=cfg.cell_num,
+            min_distance=cfg.min_distance_3d, max_labels=self.max_cells)
+        # the reference keeps the WITH-border labels and relabels them
+        # sequentially (tracker.py:677-680)
+        seg = relabel_sequential(labels_clear, self.max_cells)
+        com = center_of_mass((seg > 0).astype(jnp.float32), seg,
+                             self.max_cells)
+        return seg, com, min_size, cell_num
+
+    # ---- full per-volume segmentation (tracker.py:605-650) --------------------
+    def segment(self, image_raw: np.ndarray, method: str = "min_size",
+                cache_path: Optional[Union[str, Path]] = None) -> SegResult:
+        image_raw = np.asarray(image_raw)
+        probs = self.predict_cellregions(image_raw, cache_path)
+        if float(jnp.max(probs)) <= 0.5:
+            raise ValueError(
+                "No cell was detected by 3D U-Net! Try to reduce the "
+                "noise_level.")
+        seg, com, min_size, cell_num = self._watershed(probs, method=method)
+        seg_np = np.asarray(seg)
+        n = int(seg_np.max())
+        if n == 0:
+            raise ValueError(
+                "No cell was detected by watershed! Try to reduce the "
+                "min_size.")
+        centers = np.asarray(com)[:n]
+        r_coords = centers * np.array([1.0, 1.0, self.config.z_xy_ratio])
+        return SegResult(
+            image_cell_bg=np.asarray(probs),
+            l_center_coordinates=centers,
+            segmentation_auto=seg_np,
+            image_gcn=image_raw / 65536.0,
+            r_coordinates_segment=r_coords,
+        )
