@@ -1,0 +1,147 @@
+"""StarDist3D network: U-Net backbone + (prob, dist) heads on a subsampled
+grid.
+
+Functional rebuild of the stardist Keras model the reference wraps
+(``stardistwrapper.py:213-281``, ``stardist3dcustom.py``): depth-2 U-Net
+backbone (32->64 filters, ReLU, no batch-norm — stardist Config3D defaults),
+a 128-filter feature conv, a 1-channel sigmoid probability head and an
+n_rays linear distance head.  The prediction grid (``config.grid``) is an
+initial max-pool so the heads run at grid resolution — the same output
+semantics as stardist's subsampled grid with a TPU-friendly implementation.
+
+Layout: (b, z, y, x, c) — stardist's ZYX axes order.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import Any, Dict, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from ..config import StarDistConfig
+from . import layers as L
+
+Params = Dict[str, Any]
+
+
+@dataclasses.dataclass(frozen=True)
+class StarDist3DNet:
+    config: StarDistConfig
+
+    def init(self, key: jax.Array) -> Params:
+        cfg = self.config
+        keys = iter(jax.random.split(key, 32))
+        f = cfg.unet_n_filter_base
+        k = cfg.unet_kernel_size
+        params: Params = {}
+
+        def conv(name, cin, cout, kernel=k):
+            params[name] = L.init_conv3d(next(keys), kernel, cin, cout)
+
+        conv("stem", cfg.n_channel_in, f)
+        c = f
+        filters = [f * (2 ** lvl) for lvl in range(cfg.unet_n_depth + 1)]
+        for lvl in range(cfg.unet_n_depth):
+            conv(f"down{lvl}_0", c, filters[lvl])
+            conv(f"down{lvl}_1", filters[lvl], filters[lvl])
+            c = filters[lvl]
+        conv("bottom_0", c, filters[-1])
+        conv("bottom_1", filters[-1], filters[-1])
+        c = filters[-1]
+        for lvl in reversed(range(cfg.unet_n_depth)):
+            conv(f"up{lvl}_0", c + filters[lvl], filters[lvl])
+            conv(f"up{lvl}_1", filters[lvl], filters[lvl])
+            c = filters[lvl]
+        conv("features", c, cfg.net_conv_after_unet)
+        conv("prob_head", cfg.net_conv_after_unet, 1, kernel=(1, 1, 1))
+        conv("dist_head", cfg.net_conv_after_unet, cfg.n_rays,
+             kernel=(1, 1, 1))
+        return params
+
+    def apply(self, params: Params, x: jax.Array,
+              compute_dtype=jnp.float32) -> Tuple[jax.Array, jax.Array]:
+        """x: (b, z, y, x, c) -> (prob (b, z/g, y/g, x/g, 1),
+        dist (b, ..., n_rays)).  Spatial dims must be divisible by
+        grid * 2**unet_n_depth."""
+        cfg = self.config
+        act = jax.nn.relu
+
+        def conv(name, h):
+            return act(L.conv3d(params[name], h, compute_dtype))
+
+        h = conv("stem", x)
+        if any(g > 1 for g in cfg.grid):
+            h = L.max_pool3d(h, cfg.grid)
+        skips = []
+        for lvl in range(cfg.unet_n_depth):
+            h = conv(f"down{lvl}_0", h)
+            h = conv(f"down{lvl}_1", h)
+            skips.append(h)
+            h = L.max_pool3d(h, cfg.unet_pool)
+        h = conv("bottom_0", h)
+        h = conv("bottom_1", h)
+        for lvl in reversed(range(cfg.unet_n_depth)):
+            h = L.upsample3d(h, cfg.unet_pool)
+            h = jnp.concatenate([h, skips[lvl].astype(h.dtype)], axis=-1)
+            h = conv(f"up{lvl}_0", h)
+            h = conv(f"up{lvl}_1", h)
+        feat = conv("features", h)
+        prob = jax.nn.sigmoid(L.conv3d(params["prob_head"], feat,
+                                       compute_dtype))
+        dist = L.conv3d(params["dist_head"], feat, compute_dtype)
+        return prob, dist
+
+    @property
+    def div_by(self) -> Tuple[int, int, int]:
+        cfg = self.config
+        return tuple(g * p ** cfg.unet_n_depth
+                     for g, p in zip(cfg.grid, cfg.unet_pool))
+
+
+@functools.partial(jax.jit, static_argnames=(
+    "grid", "max_candidates", "border"))
+def sparse_candidates(prob: jax.Array, dist: jax.Array,
+                      grid: Tuple[int, int, int],
+                      prob_thresh: float,
+                      max_candidates: int = 512,
+                      border: int = 2
+                      ) -> Tuple[jax.Array, jax.Array, jax.Array, jax.Array]:
+    """Gather candidates above ``prob_thresh`` (stardist
+    ``_ind_prob_thresh`` with b=2 border exclusion,
+    stardist3dcustom.py:229-237) as fixed-size top-k arrays.
+
+    prob: (gz, gy, gx); dist: (gz, gy, gx, n_rays).
+    Returns (probs (K,), dists (K, n_rays), points (K, 3) in input voxel
+    units (z, y, x), valid (K,)).
+    """
+    gz, gy, gx = prob.shape
+    b = border
+    zz = jax.lax.broadcasted_iota(jnp.int32, prob.shape, 0)
+    yy = jax.lax.broadcasted_iota(jnp.int32, prob.shape, 1)
+    xx = jax.lax.broadcasted_iota(jnp.int32, prob.shape, 2)
+    interior = ((zz >= b) & (zz < gz - b) & (yy >= b) & (yy < gy - b)
+                & (xx >= b) & (xx < gx - b)) if b else \
+        jnp.ones(prob.shape, bool)
+    masked = jnp.where(interior, prob, -jnp.inf).reshape(-1)
+    top_p, top_idx = jax.lax.top_k(masked, max_candidates)
+    valid = top_p > prob_thresh
+    pts = jnp.stack([top_idx // (gy * gx),
+                     (top_idx // gx) % gy,
+                     top_idx % gx], axis=1)
+    points = pts * jnp.asarray(grid, jnp.int32)[None, :]
+    dists = jnp.maximum(dist.reshape(-1, dist.shape[-1])[top_idx], 1e-3)
+    return jnp.where(valid, top_p, 0.0), dists, points, valid
+
+
+def upsample_prob_map(prob: jax.Array, grid: Tuple[int, int, int],
+                      out_shape: Tuple[int, int, int]) -> jax.Array:
+    """resizer.after equivalent (stardist3dcustom.py:247): repeat by grid
+    and crop to the input shape."""
+    out = prob
+    for axis, g in enumerate(grid):
+        if g > 1:
+            out = jnp.repeat(out, g, axis=axis)
+    return out[:out_shape[0], :out_shape[1], :out_shape[2]]

@@ -1,0 +1,90 @@
+"""Star-convex polyhedron rays (StarDist geometry).
+
+Replaces the stardist package's ``Rays_GoldenSpiral`` + C++ ray geometry
+(reference ``stardistwrapper.py:21,229``; SURVEY §2.2 N2): unit directions
+on a Fibonacci (golden-spiral) lattice, warped by voxel anisotropy, in
+(z, y, x) index order like stardist.
+
+A star-convex polyhedron is (center c, distances r_k along each ray).  On
+TPU, membership tests and volumes use the nearest-ray radius approximation:
+the radius toward direction d is r_{argmax_k <d, ray_k>}.  With 96 rays the
+direction quantization error is ~2% in radius — well below the voxel noise
+the NMS threshold absorbs — and every test becomes one (batched) matmul
+against the ray matrix instead of a C++ triangle walk.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def rays_golden_spiral(n: int = 96,
+                       anisotropy: Optional[Tuple[float, float, float]]
+                       = None) -> np.ndarray:
+    """(n, 3) unit vectors in (z, y, x) order (stardist Rays_GoldenSpiral)."""
+    s = 3.6 / np.sqrt(n)
+    delta = 2.0 / n
+    z = 1.0 - delta / 2.0
+    longitude = 0.0
+    verts = []
+    for _ in range(n):
+        r = np.sqrt(max(1.0 - z * z, 0.0))
+        verts.append((z, r * np.sin(longitude), r * np.cos(longitude)))
+        z -= delta
+        longitude += s / max(r, 1e-12)
+    v = np.asarray(verts, np.float64)
+    if anisotropy is not None:
+        v = v / np.asarray(anisotropy, np.float64)
+    v = v / np.linalg.norm(v, axis=1, keepdims=True)
+    return v.astype(np.float32)
+
+
+def rays_volume_weights(rays: np.ndarray) -> np.ndarray:
+    """Per-ray solid-angle weight for volume estimation: each ray owns
+    ~4*pi/n of the sphere, so vol ≈ sum_k w_k r_k^3 with w = 4*pi/(3n)."""
+    n = rays.shape[0]
+    return np.full((n,), 4.0 * np.pi / (3.0 * n), np.float32)
+
+
+@jax.jit
+def polyhedron_volumes(dists: jax.Array, rays: jax.Array) -> jax.Array:
+    """Approximate volumes of (k, n_rays) polyhedra."""
+    w = 4.0 * jnp.pi / (3.0 * rays.shape[0])
+    return w * jnp.sum(dists.astype(jnp.float32) ** 3, axis=-1)
+
+
+def radius_toward(dists: jax.Array, rays: jax.Array,
+                  directions: jax.Array) -> jax.Array:
+    """Radius of each polyhedron toward given unit directions.
+
+    dists: (..., n_rays); directions: (m, 3) unit vectors.
+    Returns (..., m): r of the nearest ray per direction.
+    """
+    sim = directions @ rays.T                     # (m, n_rays)
+    nearest = jnp.argmax(sim, axis=-1)            # (m,)
+    return dists[..., nearest]
+
+
+def sample_directions_fibonacci(s: int) -> np.ndarray:
+    """Deterministic quasi-uniform unit directions for MC overlap."""
+    return rays_golden_spiral(s)
+
+
+def sample_points_in_polyhedron(center: jax.Array, dists: jax.Array,
+                                rays: jax.Array, dirs: jax.Array,
+                                radii_fracs: np.ndarray) -> jax.Array:
+    """Quasi-MC interior points of one star polyhedron.
+
+    center (3,), dists (n_rays,), dirs (s, 3), radii_fracs (f,) in (0, 1]
+    as cube-root-uniform fractions.  Returns (s*f, 3) points.
+    """
+    r = radius_toward(dists, rays, dirs)          # (s,)
+    pts = center[None, None, :] + \
+        (r[:, None, None] * jnp.asarray(radii_fracs)[None, :, None]) * \
+        dirs[:, None, :]
+    return pts.reshape(-1, 3)

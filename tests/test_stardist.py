@@ -1,0 +1,180 @@
+"""StarDist3D path: ray geometry, MC polyhedron overlap vs analytic
+sphere intersection, greedy NMS, label rendering, sparse candidates,
+end-to-end predict_instances, config heuristics."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from t3dct.config import StarDistConfig
+from t3dct.engine.stardist import (StarDist3D, configure, predict_and_save,
+                                   calculate_extents)
+from t3dct.models.stardist3d import (StarDist3DNet, sparse_candidates,
+                                     upsample_prob_map)
+from t3dct.ops.nms import (greedy_nms, overlap_matrix,
+                           render_polyhedra_labels)
+from t3dct.ops.rays import rays_golden_spiral, polyhedron_volumes
+
+
+def test_rays_unit_and_uniform():
+    rays = rays_golden_spiral(96)
+    assert rays.shape == (96, 3)
+    np.testing.assert_allclose(np.linalg.norm(rays, axis=1), 1.0, rtol=1e-5)
+    # roughly uniform: nearest-neighbor angles all similar
+    cos = rays @ rays.T - 2 * np.eye(96)
+    nn_angle = np.degrees(np.arccos(np.clip(cos.max(axis=1), -1, 1)))
+    assert nn_angle.max() < 30 and nn_angle.min() > 5
+
+
+def test_rays_anisotropy_tilts_towards_fine_axes():
+    rays = rays_golden_spiral(96, anisotropy=(9.0, 1.0, 1.0))
+    # unit norm preserved
+    np.testing.assert_allclose(np.linalg.norm(rays, axis=1), 1.0, rtol=1e-5)
+    # mean |z| component should shrink vs isotropic
+    iso = rays_golden_spiral(96)
+    assert np.abs(rays[:, 0]).mean() < np.abs(iso[:, 0]).mean()
+
+
+def test_polyhedron_volume_sphere():
+    rays = jnp.asarray(rays_golden_spiral(96))
+    r = 7.0
+    vol = float(polyhedron_volumes(jnp.full((1, 96), r), rays)[0])
+    np.testing.assert_allclose(vol, 4 / 3 * np.pi * r ** 3, rtol=0.02)
+
+
+def sphere_overlap_fraction(r, d):
+    """Analytic equal-sphere intersection / sphere volume."""
+    if d >= 2 * r:
+        return 0.0
+    v_int = np.pi * (4 * r + d) * (2 * r - d) ** 2 / 12
+    return v_int / (4 / 3 * np.pi * r ** 3)
+
+
+@pytest.mark.parametrize("d", [0.0, 4.0, 8.0, 12.0])
+def test_overlap_matrix_vs_analytic_spheres(d):
+    rays = jnp.asarray(rays_golden_spiral(96))
+    r = 6.0
+    centers = jnp.asarray([[0, 0, 0], [0, 0, d]], jnp.float32)
+    dists = jnp.full((2, 96), r)
+    valid = jnp.ones(2, bool)
+    got = np.asarray(overlap_matrix(centers, dists, rays, valid,
+                                    n_samples=64, n_fracs=6))
+    want = sphere_overlap_fraction(r, d)
+    assert abs(got[0, 1] - want) < 0.08
+    assert abs(got[1, 0] - want) < 0.08
+    np.testing.assert_allclose(got[0, 0], 1.0, atol=0.01)
+
+
+def test_greedy_nms():
+    prob = jnp.asarray([0.9, 0.8, 0.7])
+    overlap = jnp.asarray([[1.0, 0.6, 0.0],
+                           [0.6, 1.0, 0.0],
+                           [0.0, 0.0, 1.0]])
+    kept = np.asarray(greedy_nms(prob, overlap, jnp.ones(3, bool),
+                                 nms_thresh=0.3))
+    np.testing.assert_array_equal(kept, [True, False, True])
+    # higher threshold keeps all
+    kept2 = np.asarray(greedy_nms(prob, overlap, jnp.ones(3, bool),
+                                  nms_thresh=0.7))
+    np.testing.assert_array_equal(kept2, [True, True, True])
+
+
+def test_render_polyhedra():
+    rays = jnp.asarray(rays_golden_spiral(96))
+    centers = jnp.asarray([[10, 10, 10], [10, 10, 18]], jnp.float32)
+    dists = jnp.full((2, 96), 5.0)
+    prob = jnp.asarray([0.9, 0.8])
+    kept = jnp.ones(2, bool)
+    labels = np.asarray(render_polyhedra_labels(
+        centers, dists, rays, prob, kept, (21, 21, 30), (13, 13, 13)))
+    # instance 1 = higher prob at its center
+    assert labels[10, 10, 10] == 1
+    assert labels[10, 10, 18] == 2
+    # overlap region (z, y, x)=(10, 10, 14): both within r=5 -> prob 1 wins
+    assert labels[10, 10, 14] == 1
+    # volumes roughly spherical
+    v1 = (labels == 1).sum()
+    assert abs(v1 - 4 / 3 * np.pi * 125) / (4 / 3 * np.pi * 125) < 0.25
+    assert labels[0, 0, 0] == 0
+
+
+def test_sparse_candidates_grid_mapping():
+    prob = np.zeros((16, 16, 16), np.float32)
+    prob[5, 6, 7] = 0.9
+    prob[10, 11, 12] = 0.8
+    prob[0, 1, 1] = 0.95     # inside the b=2 border -> excluded
+    dist = np.ones((16, 16, 16, 8), np.float32) * 3.0
+    probs, dists, points, valid = sparse_candidates(
+        jnp.asarray(prob), jnp.asarray(dist), grid=(2, 1, 1),
+        prob_thresh=0.5, max_candidates=8)
+    probs, points, valid = (np.asarray(probs), np.asarray(points),
+                            np.asarray(valid))
+    assert valid.sum() == 2
+    got = {tuple(p) for p in points[valid]}
+    assert got == {(10, 6, 7), (20, 11, 12)}   # z multiplied by grid 2
+
+
+def test_upsample_prob_map():
+    prob = np.arange(8, dtype=np.float32).reshape(2, 2, 2)
+    up = np.asarray(upsample_prob_map(jnp.asarray(prob), (2, 2, 2),
+                                      (3, 4, 4)))
+    assert up.shape == (3, 4, 4)
+    assert up[0, 0, 0] == prob[0, 0, 0] and up[1, 1, 1] == prob[0, 0, 0]
+
+
+@pytest.fixture(scope="module")
+def small_model():
+    cfg = StarDistConfig(n_rays=32, grid=(1, 2, 2),
+                         anisotropy=(2.0, 1.0, 1.0),
+                         unet_n_filter_base=8, net_conv_after_unet=16)
+    return StarDist3D(cfg, max_candidates=64, render_box=(9, 17, 17))
+
+
+def test_net_shapes(small_model):
+    net = small_model.net
+    x = jnp.ones((1, 8, 16, 16, 1))
+    prob, dist = net.apply(small_model.params, x)
+    # heads run at grid resolution: (z/1, y/2, x/2)
+    assert prob.shape == (1, 8, 8, 8, 1)
+    assert dist.shape == (1, 8, 8, 8, 32)
+    assert net.div_by == (4, 8, 8)
+
+
+def test_predict_instances_end_to_end(small_model):
+    rng = np.random.RandomState(0)
+    x = rng.rand(10, 40, 37).astype(np.float32)
+    (labels, details), prob_map = small_model.predict_instances(x)
+    assert prob_map.shape == x.shape
+    assert labels.shape == x.shape
+    k = details["points"].shape[0]
+    assert details["prob"].shape == (k,)
+    assert details["dist"].shape == (k, 32)
+    assert labels.max() <= k
+    # probabilities sorted descending (stardist id convention)
+    if k > 1:
+        assert (np.diff(details["prob"]) <= 1e-6).all()
+
+
+def test_configure_heuristics():
+    lab = np.zeros((32, 64, 64), np.int32)
+    lab[4:8, 10:22, 10:22] = 1      # z-extent 4, y/x 12 -> anisotropy z=3
+    lab[20:24, 40:52, 30:42] = 2
+    cfg = configure([lab, lab])
+    assert cfg.grid[0] == 1          # strongly anisotropic z -> no z grid
+    assert cfg.grid[1] == 2 and cfg.grid[2] == 2
+    assert cfg.n_rays == 96
+    assert cfg.train_patch_size[1] == cfg.train_patch_size[2]
+    for s, d in zip(cfg.train_patch_size, (4, 8, 8)):
+        assert s % d == 0
+    ext = calculate_extents([lab])
+    np.testing.assert_allclose(ext, [4, 12, 12])
+
+
+def test_model_save_load_roundtrip(tmp_path, small_model):
+    small_model.save(tmp_path / "m")
+    loaded = StarDist3D.load(tmp_path / "m")
+    x = np.random.RandomState(1).rand(8, 32, 32).astype(np.float32)
+    p1 = small_model.predict_sparse(x)[4]
+    p2 = loaded.predict_sparse(x)[4]
+    np.testing.assert_allclose(np.asarray(p1), np.asarray(p2), rtol=1e-5)
