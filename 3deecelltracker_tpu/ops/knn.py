@@ -45,6 +45,26 @@ def knn(points: jax.Array, mask: jax.Array, k: int
 
 
 @functools.partial(jax.jit, static_argnames=("k",))
+def knn_feature_vectors_cross(base: jax.Array, query: jax.Array, k: int = 20
+                              ) -> jax.Array:
+    """Training-path feature build (``features_of_points_ffn_quick``
+    ffn.py:57-88): (k+1)-NN of each QUERY point within ``base``; offsets of
+    neighbors 1..k from the query point itself, divided by the mean (k+1)-NN
+    distance; last feature = that mean distance."""
+    kk = min(k + 1, base.shape[0])   # clamp for tiny point sets
+    d2 = pairwise_sq_dists(query, base)
+    neg, idx = jax.lax.top_k(-d2, kk)
+    dists = jnp.sqrt(jnp.maximum(-neg, 0.0))
+    mean_dist = jnp.mean(dists, axis=1)
+    neighbors = base[idx[:, 1:]]                              # (nq, kk-1, 3)
+    rel = (neighbors - query[:, None, :]) / mean_dist[:, None, None]
+    rel_flat = rel.reshape(query.shape[0], 3 * (kk - 1))
+    if kk - 1 < k:
+        rel_flat = jnp.pad(rel_flat, ((0, 0), (0, 3 * (k - kk + 1))))
+    return jnp.concatenate([rel_flat, mean_dist[:, None]], axis=1)
+
+
+@functools.partial(jax.jit, static_argnames=("k",))
 def knn_feature_vectors(points: jax.Array, mask: jax.Array, k: int = 20
                         ) -> jax.Array:
     """61-dim FFN features per point (reference ``ffn.py:294-318``):

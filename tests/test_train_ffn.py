@@ -1,0 +1,89 @@
+"""FFN training: synthesis semantics + loss decreases + learned matching
+beats random initialization on a synthetic deformation."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+from sklearn.neighbors import NearestNeighbors
+
+from t3dct.models.synthesize import (add_seg_errors, affine_transform,
+                                     no_match_points)
+from t3dct.models.train_ffn import TrainFFN, DataGeneratorFFN
+from t3dct.models.ffn import ffn_pair_scores
+from t3dct.ops.knn import knn_feature_vectors_cross, knn_feature_vectors
+
+
+def test_add_seg_errors():
+    rng = np.random.RandomState(0)
+    pts = rng.randn(40, 3).astype(np.float32)
+    out, replaced = add_seg_errors(pts, 0.15, rng=rng)
+    assert len(replaced) == int(np.ceil(40 * 0.15))
+    untouched = np.setdiff1d(np.arange(40), replaced)
+    np.testing.assert_array_equal(out[untouched], pts[untouched])
+    assert not np.allclose(out[replaced], pts[replaced])
+
+
+def test_no_match_points_never_self():
+    rng = np.random.RandomState(1)
+    pts = rng.randn(25, 3)
+    for _ in range(5):
+        out = no_match_points(25, pts, rng)
+        assert not any((out[i] == pts[i]).all() for i in range(25))
+
+
+def test_affine_transform_moderate():
+    rng = np.random.RandomState(2)
+    pts = rng.randn(30, 3)
+    out = affine_transform(pts, 0.2, 0.001, rng)
+    assert np.abs(out - pts).max() < 1.0
+
+
+def test_cross_features_vs_sklearn():
+    rng = np.random.RandomState(3)
+    base = rng.randn(30, 3).astype(np.float32)
+    query = rng.randn(12, 3).astype(np.float32)
+    k = 5
+    got = np.asarray(knn_feature_vectors_cross(base, query, k))
+    nn = NearestNeighbors(n_neighbors=k + 1).fit(base)
+    dists, idx = nn.kneighbors(query)
+    for i in range(12):
+        mean_d = dists[i].mean()
+        rel = (base[idx[i, 1:]] - query[i]) / mean_d
+        np.testing.assert_allclose(got[i, :3 * k], rel.reshape(-1),
+                                   rtol=1e-3, atol=1e-4)
+        np.testing.assert_allclose(got[i, 3 * k], mean_d, rtol=1e-4)
+
+
+def test_generator_shapes_and_labels():
+    rng = np.random.RandomState(4)
+    pts = rng.randn(20, 3).astype(np.float32)
+    gen = DataGeneratorFFN(pts, seed=0, batch_size=32, num_sets=2)
+    x, y = next(iter(gen))
+    assert x.shape == (32, 122)
+    assert y.shape == (32, 1)
+    assert set(np.unique(y)) <= {0.0, 1.0}
+
+
+@pytest.mark.slow
+def test_training_improves_matching(tmp_path):
+    rng = np.random.RandomState(5)
+    pts = rng.randn(30, 3).astype(np.float32) * 0.3
+    np.savetxt(tmp_path / "points.txt", pts)
+    trainer = TrainFFN("testffn", points1_path=str(tmp_path / "points.txt"),
+                       basedir=tmp_path, seed=0)
+    losses = trainer.train(num_epochs=1, iteration=120, verbose=False)
+    assert losses[-1] < 0.69  # below chance-level BCE
+
+    # matching accuracy on a fresh affine-deformed copy
+    tgt = affine_transform(trainer.points_t1, 0.2, 0.001,
+                           np.random.RandomState(9)).astype(np.float32)
+    mask = np.ones(30, bool)
+    f_ref = knn_feature_vectors(jnp.asarray(trainer.points_t1),
+                                jnp.asarray(mask), 20)
+    f_tgt = knn_feature_vectors(jnp.asarray(tgt), jnp.asarray(mask), 20)
+    scores = np.asarray(ffn_pair_scores(trainer.params, trainer.bn_state,
+                                        f_ref, f_tgt))
+    acc = (scores.argmax(axis=1) == np.arange(30)).mean()
+    assert acc > 0.5, f"trained matching accuracy too low: {acc}"
+    assert (tmp_path / "testffn.npz").exists()
