@@ -1,0 +1,159 @@
+"""StarDist3D training (reference trains via stardist's Keras ``fit``;
+config heuristics from ``stardistwrapper.py:213-281``, augmenter
+:330-364).
+
+Pipeline: random patches of ``train_patch_size`` from (image, label)
+volumes -> yx fliprot + intensity augmentation (the reference augmenter) ->
+device GT generation (``edt_prob`` + ``star_dist3d`` subsampled by grid) ->
+jitted loss/Adam step with stardist's composite loss: BCE on object
+probability + prob-weighted MAE on ray distances (weights 1 : 0.2).
+"""
+
+from __future__ import annotations
+
+from pathlib import Path
+from typing import List, Optional, Tuple, Union
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from ..config import StarDistConfig
+from ..ops.rays import rays_golden_spiral
+from ..ops.stardist_gt import edt_prob, star_dist3d
+from ..utils.checkpoint import load_pytree, save_pytree
+from .stardist3d import StarDist3DNet
+
+
+def random_fliprot(img: np.ndarray, mask: np.ndarray,
+                   rng: np.random.RandomState,
+                   axis=(1, 2)) -> Tuple[np.ndarray, np.ndarray]:
+    """yx permutation + flips (``stardistwrapper.py:330-348``)."""
+    perm = tuple(rng.permutation(axis))
+    transpose_axis = np.arange(mask.ndim)
+    for a, p in zip(axis, perm):
+        transpose_axis[a] = p
+    img = img.transpose(tuple(transpose_axis))
+    mask = mask.transpose(tuple(transpose_axis))
+    for ax in axis:
+        if rng.rand() > 0.5:
+            img = np.flip(img, axis=ax)
+            mask = np.flip(mask, axis=ax)
+    return img, mask
+
+
+def random_intensity_change(img: np.ndarray,
+                            rng: np.random.RandomState) -> np.ndarray:
+    """``stardistwrapper.py:350-352``."""
+    return img * rng.uniform(0.6, 2.0) + rng.uniform(-0.2, 0.2)
+
+
+def augmenter(x: np.ndarray, y: np.ndarray,
+              rng: np.random.RandomState) -> Tuple[np.ndarray, np.ndarray]:
+    """``stardistwrapper.augmenter`` (:355-364)."""
+    x, y = random_fliprot(x, y, rng)
+    x = random_intensity_change(x, rng)
+    return x, y
+
+
+class TrainStarDist3D:
+    """Trainer for :class:`engine.stardist.StarDist3D` models."""
+
+    def __init__(self, config: StarDistConfig,
+                 basedir: Union[str, Path] = "stardist_models",
+                 model_name: str = "stardist",
+                 learning_rate: float = 3e-4,
+                 dist_loss_weight: float = 0.2,
+                 max_dist: int = 32, seed: int = 0):
+        self.config = config
+        self.net = StarDist3DNet(config)
+        self.params = self.net.init(jax.random.PRNGKey(seed))
+        self.optimizer = optax.adam(learning_rate)
+        self.opt_state = self.optimizer.init(self.params)
+        self.rays = jnp.asarray(
+            rays_golden_spiral(config.n_rays, config.anisotropy))
+        self.dist_loss_weight = dist_loss_weight
+        self.max_dist = max_dist
+        self.basedir = Path(basedir)
+        self.model_name = model_name
+        self.rng = np.random.RandomState(seed)
+        self._step = jax.jit(self._train_step)
+        self._make_gt = jax.jit(self._gt_impl)
+
+    # ---- GT -------------------------------------------------------------
+    def _gt_impl(self, labels):
+        gz, gy, gx = self.config.grid
+        prob_gt = edt_prob(labels, max_labels=512,
+                           anisotropy=self.config.anisotropy)
+        dist_gt = star_dist3d(labels, self.rays, max_dist=self.max_dist)
+        return prob_gt[::gz, ::gy, ::gx], dist_gt[::gz, ::gy, ::gx]
+
+    # ---- loss -----------------------------------------------------------
+    def _loss(self, params, x, prob_gt, dist_gt):
+        prob, dist = self.net.apply(params, x[None, ..., None])
+        prob = prob[0, ..., 0]
+        dist = dist[0]
+        eps = 1e-7
+        p = jnp.clip(prob, eps, 1 - eps)
+        y = prob_gt
+        loss_prob = -jnp.mean(y * jnp.log(p) + (1 - y) * jnp.log(1 - p))
+        w = prob_gt[..., None]
+        loss_dist = jnp.sum(w * jnp.abs(dist - dist_gt)) / \
+            (jnp.sum(w) * dist.shape[-1] + eps)
+        return loss_prob + self.dist_loss_weight * loss_dist
+
+    def _train_step(self, params, opt_state, x, prob_gt, dist_gt):
+        loss, grads = jax.value_and_grad(self._loss)(params, x, prob_gt,
+                                                     dist_gt)
+        updates, new_opt = self.optimizer.update(grads, opt_state, params)
+        return optax.apply_updates(params, updates), new_opt, loss
+
+    # ---- data ------------------------------------------------------------
+    def _sample_patch(self, X: List[np.ndarray], Y: List[np.ndarray]):
+        i = self.rng.randint(len(X))
+        x, y = X[i], Y[i]
+        pz, py, px = self.config.train_patch_size
+        sz = self.rng.randint(0, max(x.shape[0] - pz, 0) + 1)
+        sy = self.rng.randint(0, max(x.shape[1] - py, 0) + 1)
+        sx = self.rng.randint(0, max(x.shape[2] - px, 0) + 1)
+        xp = x[sz:sz + pz, sy:sy + py, sx:sx + px]
+        yp = y[sz:sz + pz, sy:sy + py, sx:sx + px]
+        return augmenter(xp.astype(np.float32), yp.astype(np.int32),
+                         self.rng)
+
+    # ---- loop ------------------------------------------------------------
+    def train(self, X: List[np.ndarray], Y: List[np.ndarray],
+              epochs: int = 10, steps_per_epoch: int = 100,
+              verbose: bool = True) -> List[float]:
+        for x, y in zip(X, Y):
+            for s, p in zip(x.shape, self.config.train_patch_size):
+                if s < p:
+                    raise ValueError(
+                        f"volume shape {x.shape} smaller than patch "
+                        f"{self.config.train_patch_size}")
+        losses = []
+        for epoch in range(1, epochs + 1):
+            total = 0.0
+            for _ in range(steps_per_epoch):
+                xp, yp = self._sample_patch(X, Y)
+                prob_gt, dist_gt = self._make_gt(
+                    jnp.asarray(np.ascontiguousarray(yp)))
+                self.params, self.opt_state, loss = self._step(
+                    self.params, self.opt_state,
+                    jnp.asarray(np.ascontiguousarray(xp)), prob_gt, dist_gt)
+                total += float(loss)
+            losses.append(total / steps_per_epoch)
+            if verbose:
+                print(f"epoch {epoch}: loss {losses[-1]:.4f}")
+        self.save()
+        return losses
+
+    def save(self) -> None:
+        from ..engine.stardist import StarDist3D
+        model = StarDist3D(self.config, params=self.params)
+        model.save(self.basedir / self.model_name)
+
+    def load(self) -> None:
+        self.params = load_pytree(
+            self.params, self.basedir / self.model_name / "weights.npz")
