@@ -1,0 +1,72 @@
+"""Device-parallel ensemble tracking fan-out.
+
+The reference's ensemble mode predicts t2 from up to 20 reference volumes
+in a serial Python loop (``trackerlite.py:111-125``, ``tracker.py:1502-1507``)
+and trim-means the results.  Here the members are one vmapped batch —
+PR-GLS EM for all members advances in lockstep on device — optionally
+sharded over the mesh's data axis so members run on different chips and the
+trimmed mean happens after an XLA all-gather (SURVEY §2.3 mapping).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..engine.tracker import track_step
+from ..ops.trim import trim_mean
+
+
+@functools.partial(jax.jit, static_argnames=("k_points", "max_iteration",
+                                             "trim_proportion"))
+def ensemble_track_step(ffn_params, ffn_state,
+                        confirmed_stack: jax.Array,     # (E, L, 3)
+                        seg_t1_stack: jax.Array,        # (E, M, 3)
+                        seg_t1_masks: jax.Array,        # (E, M)
+                        seg_t2: jax.Array,              # (M, 3)
+                        seg_t2_mask: jax.Array,         # (M,)
+                        beta: float = 3.0, lambda_: float = 3.0,
+                        k_points: int = 20, max_iteration: int = 2000,
+                        trim_proportion: float = 0.1) -> jax.Array:
+    """All ensemble members at once; returns trim-mean combined (L, 3)."""
+    def member(confirmed, seg1, mask1):
+        return track_step(ffn_params, ffn_state, confirmed, seg1, mask1,
+                          seg_t2, seg_t2_mask, beta=beta, lambda_=lambda_,
+                          k_points=k_points, max_iteration=max_iteration)
+
+    preds = jax.vmap(member)(confirmed_stack, seg_t1_stack, seg_t1_masks)
+    return trim_mean(preds, trim_proportion, axis=0)
+
+
+def make_sharded_ensemble_step(mesh: Mesh, data_axis: str = "data",
+                               **static_kwargs):
+    """Jit the ensemble fan-out with the member axis sharded over the mesh
+    data axis; the trimmed-mean reduction runs after the all-gather XLA
+    inserts.  Member count must be a multiple of the axis size (pad with
+    repeated members and widen the trim if needed)."""
+    member_sharded = NamedSharding(mesh, P(data_axis))
+    replicated = NamedSharding(mesh, P())
+
+    fn = functools.partial(ensemble_track_step, **static_kwargs)
+    return jax.jit(
+        fn,
+        in_shardings=(replicated, replicated, member_sharded,
+                      member_sharded, member_sharded, replicated,
+                      replicated),
+        out_shardings=replicated)
+
+
+def pad_members(arrays: List[np.ndarray], multiple: int
+                ) -> Tuple[np.ndarray, int]:
+    """Stack member arrays, repeating the last to a multiple of the mesh
+    axis; returns (stack, n_real)."""
+    n = len(arrays)
+    stack = list(arrays)
+    while len(stack) % multiple:
+        stack.append(stack[-1])
+    return np.stack(stack), n
