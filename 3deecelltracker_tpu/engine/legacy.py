@@ -1,0 +1,505 @@
+"""Legacy (v0.4) ``Tracker`` facade — the U-Net generation of the API.
+
+API-compatible rebuild of the monolithic ``Tracker(Segmentation, Draw)``
+(``tracker.py:779-1551``) over the new TPU stack: same folder conventions
+(``Paths.make_folders`` tracker.py:738-753), displacement/coordinate
+``History``, miss-frame skipping, single/ensemble modes with the 5-rep
+beta-annealed FFN + PR-GLS fit, replayed motion (C, beta, intermediates),
+boundary-cell persistence semantics, legacy accurate correction weighted by
+U-Net probability + raw intensity, and CSV export.
+
+Deliberate internal differences (documented, results-equivalent):
+- label synthesis uses the atlas scatter (overlaps accumulate then zero at
+  mask > 1) instead of last-write-wins pasting — downstream both paths zero
+  overlaps before use (tracker.py:1322, 1395);
+- cells pushed partially outside the canvas are clipped instead of dropped
+  (tracker.py:1375-1376 skips them) — boundary flagging removes them first
+  in practice.
+"""
+
+from __future__ import annotations
+
+import os
+from pathlib import Path
+from typing import List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..models.ffn import FFN
+from ..models.unet3d import UNet3D, get_unet
+from ..config import SegmentationConfig
+from ..ops.connected import label_components_values
+from ..ops.knn import knn_feature_vectors
+from ..ops.matching import legacy_init_match
+from ..ops.prgls import gaussian_gram, pr_gls_quick
+from ..ops.segment_reduce import center_of_mass
+from ..ops.subregions import build_subregion_atlas, move_cells_sampled
+from ..ops.trim import trim_mean
+from ..ops.watershed import recalculate_cell_boundaries
+from ..models.ffn import ffn_pair_scores
+from ..utils.checkpoint import load_pytree, save_pytree
+from .segmentation import UNetSegmenter
+from ..io.imageio import load_image, read_image_ts, save_label_slices
+
+REP_NUM_PRGLS = 5          # tracker.py:45
+REP_NUM_CORRECTION = 20    # tracker.py:46
+BOUNDARY_XY = 6            # tracker.py:47
+K_POINTS = 20
+
+
+def get_tracking_path(adjacent: bool, ensemble, folder_path: str) -> str:
+    """tracker.py:90-110."""
+    if not ensemble:
+        return os.path.join(folder_path, "track_results_SingleMode/")
+    elif adjacent:
+        return os.path.join(folder_path, "track_results_EnsembleAdjctMode/")
+    return os.path.join(folder_path, "track_results_EnsembleDstrbtMode/")
+
+
+def get_reference_vols(ensemble, vol: int, adjacent: bool = False
+                       ) -> List[int]:
+    """track.py:575-610: source volumes for single/ensemble prediction."""
+    if not ensemble:
+        return [vol - 1]
+    if vol - 1 < ensemble:
+        return list(range(1, vol))
+    if adjacent:
+        return list(range(vol - ensemble, vol))
+    return get_remote_vols(ensemble, vol)
+
+
+def get_remote_vols(ensemble, vol: int) -> List[int]:
+    """track.py: evenly distributed historic volumes."""
+    interval = (vol - 1) // ensemble
+    start = np.mod(vol - 1, ensemble) + 1
+    return list(range(start, vol - interval + 1, interval))
+
+
+class Paths:
+    """tracker.py:687-753 folder conventions."""
+
+    def __init__(self, folder_path, image_name, unet_model_file,
+                 ffn_model_file):
+        self.folder = folder_path
+        self.image_name = image_name
+        self.unet_model_file = unet_model_file
+        self.ffn_model_file = ffn_model_file
+
+    def make_folders(self, adjacent, ensemble):
+        fp = self.folder
+        mk = lambda p: (os.makedirs(p, exist_ok=True), p)[1]
+        self.raw_image = mk(os.path.join(fp, "data/"))
+        self.auto_segmentation_vol1 = mk(os.path.join(fp, "auto_vol1/"))
+        self.manual_segmentation_vol1 = mk(os.path.join(fp, "manual_vol1/"))
+        self.track_information = mk(os.path.join(fp, "track_information/"))
+        self.models = mk(os.path.join(fp, "models/"))
+        self.unet_cache = mk(os.path.join(fp, "unet_cache/"))
+        self.track_results = mk(get_tracking_path(adjacent, ensemble, fp))
+        self.anim = mk(os.path.join(fp, "anim/"))
+        self.unet_weights = mk(os.path.join(self.models, "unet_weights/"))
+
+
+class History:
+    """tracker.py:756-776."""
+
+    def __init__(self):
+        self.r_displacements: List[np.ndarray] = []
+        self.r_segmented_coordinates: List[np.ndarray] = []
+        self.r_tracked_coordinates: List[np.ndarray] = []
+        self.anim: List = []
+
+
+class Tracker:
+    """Legacy orchestrator (tracker.py:779-1551) over the TPU stack."""
+
+    def __init__(self, volume_num, siz_xyz: tuple, z_xy_ratio, z_scaling,
+                 noise_level, min_size, beta_tk, lambda_tk, maxiter_tk,
+                 folder_path, image_name, unet_model_file, ffn_model_file,
+                 cell_num=0, ensemble=False, adjacent=False,
+                 shrink=(24, 24, 2), miss_frame=None,
+                 unet_variant: str = "a", max_cells: int = 512):
+        self.volume_num = volume_num
+        self.x_siz, self.y_siz, self.z_siz = siz_xyz
+        self.z_xy_ratio = float(z_xy_ratio)
+        self.z_scaling = int(z_scaling)
+        self.noise_level = noise_level
+        self.min_size = min_size
+        self.beta_tk = beta_tk
+        self.lambda_tk = lambda_tk
+        self.max_iteration = maxiter_tk
+        self.cell_num = cell_num
+        self.ensemble = ensemble
+        self.adjacent = adjacent
+        self.shrink = tuple(shrink)
+        self.miss_frame = [] if not miss_frame else miss_frame
+        self.max_cells = max_cells
+        self.paths = Paths(folder_path, image_name, unet_model_file,
+                           ffn_model_file)
+        self.paths.make_folders(adjacent, ensemble)
+        self.history = History()
+        self.use_8_bit = True
+        self.unet_variant = unet_variant
+        self.unet_model: Optional[UNet3D] = None
+        self.segmenter: Optional[UNetSegmenter] = None
+        self.ffn_params = None
+        self.ffn_state = None
+        self.cells_on_boundary = None
+        self.cell_num_t0 = None
+        self.atlas = None
+        self.segresult = None
+        self.tracked_labels = None
+
+    # ---- parameter setters (tracker.py:520-550, 889-906) -------------------
+    def set_segmentation(self, noise_level=None, min_size=None,
+                         del_cache=False):
+        changed = False
+        if noise_level is not None and noise_level != self.noise_level:
+            self.noise_level = noise_level
+            changed = True
+        if min_size is not None and min_size != self.min_size:
+            self.min_size = min_size
+            changed = True
+        if changed or del_cache:
+            for f in os.listdir(self.paths.unet_cache):
+                os.remove(os.path.join(self.paths.unet_cache, f))
+            print("All files under /unet_cache folder were deleted")
+        if changed:
+            self._build_segmenter()
+
+    def set_tracking(self, beta_tk, lambda_tk, maxiter_tk):
+        if (self.beta_tk, self.lambda_tk, self.max_iteration) == \
+                (beta_tk, lambda_tk, maxiter_tk):
+            print("Tracking parameters were not modified")
+        else:
+            self.beta_tk, self.lambda_tk, self.max_iteration = \
+                beta_tk, lambda_tk, maxiter_tk
+            print(f"Parameters were modified: beta_tk={beta_tk}, "
+                  f"lambda_tk={lambda_tk}, maxiter_tk={maxiter_tk}")
+
+    # ---- model loading -------------------------------------------------------
+    def _build_segmenter(self):
+        cfg = SegmentationConfig(
+            noise_level=self.noise_level, min_size=self.min_size,
+            cell_num=self.cell_num, z_xy_ratio=self.z_xy_ratio,
+            z_scaling=self.z_scaling, shrink=self.shrink)
+        self.segmenter = UNetSegmenter(
+            self.unet_model, self.unet_params, self.unet_bn_state, cfg,
+            (self.x_siz, self.y_siz, self.z_siz), max_cells=self.max_cells)
+
+    def load_unet(self):
+        """Load a pretrained U-Net checkpoint (.npz from TrainingUNet3D)."""
+        self.unet_model = get_unet(self.unet_variant)
+        template = self.unet_model.init(jax.random.PRNGKey(0))
+        self.unet_params, self.unet_bn_state = load_pytree(
+            template, os.path.join(self.paths.models,
+                                   self.paths.unet_model_file))
+        save_pytree((self.unet_params, self.unet_bn_state),
+                    os.path.join(self.paths.unet_weights,
+                                 "weights_initial.npz"))
+        self._build_segmenter()
+        print("Loaded the 3D U-Net model")
+
+    def load_unet_arrays(self, model: UNet3D, params, bn_state):
+        """In-memory variant for pipelines/tests."""
+        self.unet_model = model
+        self.unet_params, self.unet_bn_state = params, bn_state
+        self._build_segmenter()
+
+    def load_ffn(self):
+        template = FFN().init(jax.random.PRNGKey(0))
+        self.ffn_params, self.ffn_state = load_pytree(
+            template, os.path.join(self.paths.models,
+                                   self.paths.ffn_model_file))
+        print("Loaded the FFN model")
+
+    def load_ffn_arrays(self, params, state):
+        self.ffn_params, self.ffn_state = params, state
+
+    # ---- segmentation (tracker.py:583-603) -----------------------------------
+    def _read_volume(self, vol: int) -> np.ndarray:
+        pattern = os.path.join(self.paths.raw_image, self.paths.image_name)
+        return read_image_ts(vol, pattern, (1, self.z_siz + 1))
+
+    def _segment(self, vol: int, method: str = "min_size"):
+        image_raw = self._read_volume(vol)
+        cache = os.path.join(self.paths.unet_cache, "t%06i.npy" % vol)
+        return self.segmenter.segment(image_raw, method=method,
+                                      cache_path=cache)
+
+    def segment_vol1(self, method="min_size"):
+        self.segresult = self._segment(1, method)
+        self.r_coordinates_segment_t0 = \
+            self.segresult.r_coordinates_segment.copy()
+        self.use_8_bit = self.segresult.segmentation_auto.max() <= 255
+        save_label_slices(self.segresult.segmentation_auto,
+                          self.paths.auto_segmentation_vol1,
+                          "auto_R_t%04i_z%04i.tif", 1, self.use_8_bit)
+        print("Segmented volume 1 and saved it")
+
+    # ---- manual seg + interpolation (tracker.py:908-921, 1046-1112) ----------
+    def load_manual_seg(self):
+        seg = load_image(self.paths.manual_segmentation_vol1)
+        from .transformer import _relabel_sequential_np
+        self.segmentation_manual_relabels = _relabel_sequential_np(
+            seg.astype(np.int32))
+        if self.segmentation_manual_relabels.max() > 255:
+            self.use_8_bit = False
+        print("Loaded manual _segment at vol 1")
+
+    def interpolate_seg(self):
+        """tracker.py:1046-1075 over the new atlas machinery."""
+        seg = self.segmentation_manual_relabels
+        n0 = int(seg.max())
+
+        atlas0 = self._make_atlas(seg)
+        labels, overlap = move_cells_sampled(atlas0)
+        smoothed = np.asarray(recalculate_cell_boundaries(labels, overlap))
+
+        corrected = np.asarray(label_components_values(
+            jnp.asarray(smoothed), connectivity=3,
+            max_labels=max(64, 2 * n0 + 8)))
+        if int(corrected.max()) != n0:
+            print(f"WARNING: {n0} cells were manually labeled while the "
+                  f"program found {int(corrected.max())} separated cells "
+                  "and corrected it")
+        self.atlas = self._make_atlas(corrected)
+        labels, overlap = move_cells_sampled(self.atlas)
+        self.segmentation_manual_relabels = np.asarray(
+            recalculate_cell_boundaries(labels, overlap))
+
+        save_label_slices(self.segmentation_manual_relabels,
+                          self.paths.track_results,
+                          "track_results_t%06i_z%04i.tif", 1,
+                          self.use_8_bit)
+        n = self.atlas.n_cells
+        com = np.asarray(center_of_mass(
+            jnp.asarray(self.segmentation_manual_relabels > 0, jnp.float32),
+            jnp.asarray(self.segmentation_manual_relabels), n))
+        self.r_coordinates_tracked_t0 = com * np.array(
+            [1.0, 1.0, self.z_xy_ratio])
+        self.cell_num_t0 = n
+
+    def _make_atlas(self, seg: np.ndarray):
+        from ..ops.segment_reduce import find_objects_bounds
+        n = int(seg.max())
+        mins, maxs = find_objects_bounds(jnp.asarray(seg), n)
+        ext = np.maximum(np.asarray(maxs) - np.asarray(mins) + 1, 1)
+        box = tuple(int(b) for b in ext.max(axis=0))
+        return build_subregion_atlas(jnp.asarray(seg), n_cells=n,
+                                     box_shape=box,
+                                     interpolation_factor=self.z_scaling,
+                                     smooth_sigma=2.5)
+
+    def cal_subregions(self):
+        """tracker.py:1095-1112 — the atlas already holds the padded
+        subregions; kept for API compatibility."""
+        assert self.atlas is not None, "run interpolate_seg first"
+
+    # ---- tracking core -------------------------------------------------------
+    def initiate_tracking(self):
+        self.cells_on_boundary = np.zeros(self.cell_num_t0, int)
+        self.history.r_displacements = [np.zeros((self.cell_num_t0, 3))]
+        self.history.r_segmented_coordinates = [
+            self.r_coordinates_segment_t0]
+        self.history.r_tracked_coordinates = [self.r_coordinates_tracked_t0]
+        self.history.anim = []
+        print("Initiated coordinates for tracking (from vol 1)")
+
+    def _initial_matching(self, ref_real: np.ndarray, tgt_real: np.ndarray
+                          ) -> np.ndarray:
+        """legacy ``initial_matching_quick`` (track.py:117-178): FFN scores
+        on UN-normalized real coords."""
+        mask_r = jnp.ones(ref_real.shape[0], bool)
+        mask_t = jnp.ones(tgt_real.shape[0], bool)
+        fr = knn_feature_vectors(jnp.asarray(ref_real, jnp.float32), mask_r,
+                                 K_POINTS)
+        ft = knn_feature_vectors(jnp.asarray(tgt_real, jnp.float32), mask_t,
+                                 K_POINTS)
+        return ffn_pair_scores(self.ffn_params, self.ffn_state, fr, ft)
+
+    def _fit_ffn_prgls(self, rep: int, r_coordinates_segment_pre):
+        """tracker.py:1224-1267: rep x (FFN + legacy PR-GLS), beta*0.8^i."""
+        inter = np.asarray(r_coordinates_segment_pre, np.float32)
+        tgt = np.asarray(self.segresult.r_coordinates_segment, np.float32)
+        C_t, BETA_t, inter_list = [], [], []
+        for i in range(rep):
+            inter_list.append(inter.copy())
+            corr = self._initial_matching(inter, tgt)
+            beta_i = self.beta_tk * (0.8 ** i)
+            res = pr_gls_quick(jnp.asarray(inter), jnp.asarray(tgt), corr,
+                               beta=beta_i,
+                               max_iteration=self.max_iteration,
+                               lambda_=self.lambda_tk)
+            C_t.append(np.asarray(res.coefficients))
+            BETA_t.append(beta_i)
+            inter = np.asarray(res.moved_ref)
+        return C_t, BETA_t, inter_list
+
+    def _predict_one_rep(self, pred, inter, beta, C):
+        """tracker.py:1269-1289: apply stored motion basis to tracked set."""
+        gram = np.asarray(gaussian_gram(jnp.asarray(pred, jnp.float32),
+                                        jnp.asarray(inter, jnp.float32),
+                                        beta ** 2))          # (n_t0, n_auto)
+        return pred + gram @ C.T
+
+    def _predict_pos_once(self, source_volume: int, draw: bool = False):
+        C_t, BETA_t, inter_list = self._fit_ffn_prgls(
+            REP_NUM_PRGLS,
+            self.history.r_segmented_coordinates[source_volume - 1])
+        pred = self.history.r_tracked_coordinates[source_volume - 1].copy()
+        for C, beta, inter in zip(C_t, BETA_t, inter_list):
+            pred = self._predict_one_rep(pred, inter, beta, C)
+        return pred, None
+
+    def _get_cells_onBoundary(self, r_coords, ensemble):
+        """tracker.py:1291-1308."""
+        b = 0 if ensemble else BOUNDARY_XY
+        return np.where(
+            (r_coords[:, 0] < b) | (r_coords[:, 1] < b)
+            | (r_coords[:, 0] > self.x_siz - b)
+            | (r_coords[:, 1] > self.y_siz - b)
+            | (r_coords[:, 2] / self.z_xy_ratio < 0)
+            | (r_coords[:, 2] / self.z_xy_ratio > self.z_siz))[0]
+
+    # ---- legacy accurate correction (tracker.py:1177-1413) -------------------
+    def _correction_once_interp(self, i_disp_from_vol1, cell_on_bound):
+        include = jnp.asarray(cell_on_bound == 0)
+        labels, overlap = move_cells_sampled(
+            self.atlas, jnp.asarray(i_disp_from_vol1, jnp.int32), include)
+        markers = jnp.where(overlap > 1, 0, labels)
+        weights = jnp.asarray(
+            self.segresult.image_cell_bg + self.segresult.image_gcn,
+            jnp.float32)
+        centers = np.asarray(center_of_mass(weights, markers,
+                                            self.cell_num_t0))
+        l_coords_moved = self.r_coordinates_tracked_t0 * \
+            np.array([1, 1, 1 / self.z_xy_ratio]) + \
+            i_disp_from_vol1 * np.array([1, 1, 1 / self.z_scaling])
+        lost = np.isnan(centers[:, 0])
+        corr = centers - l_coords_moved
+        corr[lost, :] = 0
+        corr[:, 2] *= self.z_xy_ratio
+        r_disp = i_disp_from_vol1 * np.array(
+            [1, 1, self.z_xy_ratio / self.z_scaling]) + corr
+        i_disp_new = np.rint(r_disp * np.array(
+            [1, 1, self.z_scaling / self.z_xy_ratio])).astype(int)
+        return r_disp, i_disp_new, corr
+
+    def _evaluate_correction(self, r_disp_correction):
+        """tracker.py:1402-1413."""
+        t = r_disp_correction.copy()
+        t[:, 2] *= self.z_scaling / self.z_xy_ratio
+        return np.nanmax(np.abs(t)) < 0.5
+
+    def _accurate_correction(self, cells_on_boundary_local,
+                             r_coor_predicted):
+        r_disp = self.history.r_displacements[-1] + \
+            (r_coor_predicted - self.history.r_tracked_coordinates[-1])
+        i_disp = np.rint(r_disp * np.array(
+            [1, 1, self.z_scaling / self.z_xy_ratio])).astype(int)
+        for i in range(REP_NUM_CORRECTION):
+            r_disp, i_disp, corr = self._correction_once_interp(
+                i_disp, cells_on_boundary_local)
+            if i == REP_NUM_CORRECTION - 1 or \
+                    self._evaluate_correction(corr):
+                break
+        return r_disp, i_disp
+
+    def _transform_motion_to_image(self, cells_on_boundary_local, i_disp):
+        include = jnp.asarray(cells_on_boundary_local == 0)
+        labels, overlap = move_cells_sampled(
+            self.atlas, jnp.asarray(i_disp, jnp.int32), include)
+        labels = jnp.where(overlap > 1, 0, labels)
+        return np.asarray(recalculate_cell_boundaries(labels, overlap))
+
+    # ---- public tracking API --------------------------------------------------
+    def match(self, target_volume: int, method="min_size"):
+        """tracker.py:1138-1175."""
+        if target_volume in self.miss_frame:
+            raise ValueError("target_volume is a miss_frame")
+        self.segresult = self._segment(target_volume, method)
+        r_coor_predicted, anim = self._predict_pos_once(source_volume=1)
+        cells_bd = self._get_cells_onBoundary(r_coor_predicted,
+                                              self.ensemble)
+        local = self.cells_on_boundary.copy()
+        local[cells_bd] = 1
+        _, i_disp = self._accurate_correction(local, r_coor_predicted)
+        print(f"Matching between vol 1 and vol {target_volume} was "
+              "computed")
+        return anim, [local, target_volume, i_disp, r_coor_predicted]
+
+    def _reset_tracking_state(self, from_volume):
+        assert from_volume >= 2, "from_volume should >= 2"
+        current = len(self.history.r_displacements)
+        del self.history.r_displacements[from_volume - 1:]
+        del self.history.r_segmented_coordinates[from_volume - 1:]
+        del self.history.r_tracked_coordinates[from_volume - 1:]
+        assert len(self.history.r_displacements) == from_volume - 1, \
+            f"Tracked until vol {current}, cannot start from {from_volume}"
+
+    def track(self, from_volume=2, fig=None, ax=None):
+        self._reset_tracking_state(from_volume)
+        for vol in range(from_volume, self.volume_num + 1):
+            self.track_one_vol(vol)
+
+    def track_one_vol(self, target_volume: int, method="min_size"):
+        """tracker.py:1473-1536."""
+        if target_volume in self.miss_frame:
+            save_label_slices(self.tracked_labels, self.paths.track_results,
+                              "track_results_t%06i_z%04i.tif",
+                              target_volume, self.use_8_bit)
+            self.history.r_displacements.append(
+                self.history.r_displacements[-1])
+            self.history.r_segmented_coordinates.append(
+                self.segresult.r_coordinates_segment)
+            self.history.r_tracked_coordinates.append(
+                self.r_coordinates_tracked_t0 +
+                self.history.r_displacements[-1])
+            return
+
+        self.segresult = self._segment(target_volume, method)
+        source_vols = get_reference_vols(self.ensemble, target_volume,
+                                         adjacent=self.adjacent)
+        predictions = []
+        for source_vol in source_vols:
+            pred, _ = self._predict_pos_once(source_volume=source_vol)
+            predictions.append(pred)
+        r_coor_mean = np.asarray(trim_mean(
+            jnp.asarray(np.stack(predictions)), 0.1, axis=0)) \
+            if len(predictions) > 1 else predictions[0]
+
+        cells_bd = self._get_cells_onBoundary(r_coor_mean, self.ensemble)
+        self.cells_on_boundary[cells_bd] = 1
+
+        r_disp, i_disp = self._accurate_correction(self.cells_on_boundary,
+                                                   r_coor_mean)
+        self.tracked_labels = self._transform_motion_to_image(
+            self.cells_on_boundary, i_disp)
+        save_label_slices(self.tracked_labels, self.paths.track_results,
+                          "track_results_t%06i_z%04i.tif", target_volume,
+                          self.use_8_bit)
+        if self.ensemble:
+            # ensemble mode: boundary flags reset (tracker.py:1529-1531)
+            self.cells_on_boundary = np.zeros(self.cell_num_t0, int)
+        self.history.r_displacements.append(r_disp)
+        self.history.r_segmented_coordinates.append(
+            self.segresult.r_coordinates_segment)
+        self.history.r_tracked_coordinates.append(
+            self.r_coordinates_tracked_t0 + r_disp)
+
+    def save_coordinates(self):
+        """tracker.py:1538-1551."""
+        coord = np.asarray(self.history.r_tracked_coordinates)
+        t, cell, pos = coord.shape
+        table = np.column_stack((
+            np.repeat(np.arange(1, t + 1), cell),
+            np.tile(np.arange(1, cell + 1), t),
+            coord.reshape(t * cell, pos)))
+        out = os.path.join(self.paths.track_information,
+                           "tracked_coordinates.csv")
+        np.savetxt(out, table, delimiter=",",
+                   header="cell,t,x(row),y(column),z(interpolated)",
+                   comments="")
+        print(f"Cell coordinates were stored in {out}")

@@ -40,7 +40,7 @@ def knn(points: jax.Array, mask: jax.Array, k: int
     """
     d2 = pairwise_sq_dists(points, points)
     d2 = jnp.where(mask[None, :], d2, _BIG)
-    neg, idx = jax.lax.top_k(-d2, k)
+    neg, idx = jax.lax.top_k(-d2, min(k, points.shape[0]))
     return jnp.sqrt(jnp.maximum(-neg, 0.0)), idx
 
 
@@ -73,12 +73,17 @@ def knn_feature_vectors(points: jax.Array, mask: jax.Array, k: int = 20
     mean distance.
 
     points: (n, 3) (normalized frame), mask: (n,).  Returns (n, 3k+1).
+    Point sets smaller than k+1 use all available neighbors; missing
+    neighbor slots are zero.
     """
-    dists, idx = knn(points, mask, k + 1)
+    kk = min(k + 1, points.shape[0])
+    dists, idx = knn(points, mask, kk)
     mean_dist = jnp.mean(dists, axis=1)                      # (n,)
     self_pt = points[idx[:, 0]]                              # == points row
-    neighbors = points[idx[:, 1:]]                           # (n, k, 3)
+    neighbors = points[idx[:, 1:]]                           # (n, kk-1, 3)
     rel = (neighbors - self_pt[:, None, :]) / mean_dist[:, None, None]
-    feats = jnp.concatenate(
-        [rel.reshape(points.shape[0], 3 * k), mean_dist[:, None]], axis=1)
+    rel_flat = rel.reshape(points.shape[0], 3 * (kk - 1))
+    if kk - 1 < k:
+        rel_flat = jnp.pad(rel_flat, ((0, 0), (0, 3 * (k - kk + 1))))
+    feats = jnp.concatenate([rel_flat, mean_dist[:, None]], axis=1)
     return jnp.where(mask[:, None], feats, 0.0)
