@@ -26,8 +26,7 @@ from ..io.artifacts import ResultsTree
 from ..io.imageio import (get_t_range, load_2d_slices_at_time,
                           save_volume_slices)
 from ..io.prefetch import VolumePrefetcher
-from ..models.stardist3d import (StarDist3DNet, sparse_candidates,
-                                 upsample_prob_map)
+from ..models.stardist3d import StarDist3DNet, sparse_candidates
 from ..ops.nms import greedy_nms, overlap_matrix, render_polyhedra_labels
 from ..ops.rays import rays_golden_spiral
 from ..utils.checkpoint import load_pytree, save_pytree
@@ -93,8 +92,13 @@ class StarDist3D:
     def predict_sparse(self, x: np.ndarray,
                        prob_thresh: Optional[float] = None):
         """(prob (K,), dist (K, n_rays), points (K, 3) zyx, valid (K,),
-        prob_map (z, y, x)) — parity with
-        ``_predict_sparse_generator`` (stardist3dcustom.py:168-261)."""
+        prob_map) — parity with ``_predict_sparse_generator``
+        (stardist3dcustom.py:168-261).
+
+        ``prob_map`` is at GRID resolution (like the reference's
+        ``resizer.after`` output, which undoes the div-by padding but NOT
+        the grid): downstream, ``CoordsToImageTransformer.load_prob_map``
+        upsamples it by ``grid`` (coord_image_transformer.py:432)."""
         if prob_thresh is None:
             prob_thresh = self._thresholds["prob"]
         padded, orig_shape = self._pad_input(np.asarray(x, np.float32))
@@ -105,7 +109,10 @@ class StarDist3D:
         probs, dists, points, valid = sparse_candidates(
             prob_g, dist_g, self.config.grid, prob_thresh,
             max_candidates=self.max_candidates)
-        prob_map = upsample_prob_map(prob_g, self.config.grid, orig_shape)
+        # crop the div-by padding in grid coordinates
+        gshape = tuple(-(-s // g) for s, g in zip(orig_shape,
+                                                  self.config.grid))
+        prob_map = prob_g[:gshape[0], :gshape[1], :gshape[2]]
         # resizer.filter_points: drop candidates inside the pad margin
         in_range = ((points[:, 0] < orig_shape[0])
                     & (points[:, 1] < orig_shape[1])

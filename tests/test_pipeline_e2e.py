@@ -1,0 +1,115 @@
+"""Flagship integration test: the full v1.0 StarDist workflow on a
+synthetic recording — train StarDist3D, segment all volumes into seg/,
+track with FFN + PR-GLS + accurate correction, extract activities."""
+
+import numpy as np
+import pytest
+
+from t3dct.config import StarDistConfig, TrackingConfig
+from t3dct.engine.pipeline import track_timelapse
+from t3dct.engine.stardist import StarDist3D, predict_and_save
+from t3dct.io.imageio import save_label_slices, get_t_range
+from t3dct.models.train_ffn import TrainFFN
+from t3dct.models.train_stardist import TrainStarDist3D
+
+SHAPE_ZYX = (16, 48, 48)
+Z_RATIO = 2.0
+N_VOLS = 3
+CENTERS0 = np.array([[8, 12, 12], [8, 12, 36], [8, 36, 12], [8, 36, 36]],
+                    np.float32)  # (z, y, x)
+DRIFT = np.array([[0, 1.5, 0.5], [0, -1.0, 1.0], [0, 0.5, -1.5],
+                  [0, -0.5, -0.5]], np.float32)
+
+
+def _volume_at(t, seed_offset=0):
+    centers = CENTERS0 + (t - 1) * DRIFT
+    zz, yy, xx = np.mgrid[:SHAPE_ZYX[0], :SHAPE_ZYX[1], :SHAPE_ZYX[2]]
+    img = np.random.RandomState(t + seed_offset).rand(*SHAPE_ZYX) * 0.1
+    lab = np.zeros(SHAPE_ZYX, np.int32)
+    for i, (cz, cy, cx) in enumerate(centers):
+        d2 = ((zz - cz) * Z_RATIO) ** 2 + (yy - cy) ** 2 + (xx - cx) ** 2
+        img += np.exp(-d2 / 18.0)
+        lab[d2 < 16] = i + 1
+    return img.astype(np.float32), lab, centers
+
+
+@pytest.mark.slow
+def test_v1_stardist_workflow_end_to_end(tmp_path):
+    raw_dir = tmp_path / "raw"
+    results = tmp_path / "results"
+    images_path = str(raw_dir / "raw_t%03i_z*.tif")
+
+    # ---- synthetic recording on disk (per-(t,z) 16-bit TIFF slices)
+    for t in range(1, N_VOLS + 1):
+        img, lab, _ = _volume_at(t)
+        img16 = (img / img.max() * 40000).astype(np.uint16)
+        # image (z, y, x) -> slices (y, x) per z, saved via (t, z) pattern
+        save_label_slices(img16.transpose(1, 2, 0), raw_dir,
+                          "raw_t%03i_z%04i.tif", t, use_8_bit=False,
+                          compression=None)
+    assert get_t_range(images_path) == (N_VOLS, 1)
+
+    # ---- train a small StarDist3D on vol 1
+    img1, lab1, _ = _volume_at(1)
+    img1n = (img1 - np.percentile(img1, 1)) / \
+        (np.percentile(img1, 99.8) - np.percentile(img1, 1))
+    cfg = StarDistConfig(n_rays=16, grid=(1, 2, 2),
+                         anisotropy=(Z_RATIO, 1.0, 1.0),
+                         unet_n_filter_base=8, net_conv_after_unet=16,
+                         train_patch_size=SHAPE_ZYX,
+                         prob_thresh=0.2, nms_thresh=0.3)
+    trainer = TrainStarDist3D(cfg, basedir=tmp_path / "sd_models",
+                              max_dist=10, learning_rate=3e-3, seed=0)
+    trainer.train([img1n], [lab1], epochs=8, steps_per_epoch=30,
+                  verbose=False)
+    model = StarDist3D.load(tmp_path / "sd_models" / "stardist")
+    model.max_candidates = 64
+    model.render_box = (9, 17, 17)
+
+    # ---- segment every volume into seg/
+    predict_and_save(images_path, model, results)
+    for t in range(1, N_VOLS + 1):
+        assert (results / "seg" / f"coords{t:06d}.npy").exists()
+        assert (results / "seg" / f"prob{t:06d}.npy").exists()
+    assert (results / "auto_vol1" / "auto_vol1_z0001.tif").exists()
+    coords1 = np.load(results / "seg" / "coords000001.npy")
+    assert 3 <= coords1.shape[0] <= 16, f"got {coords1.shape[0]} cells"
+
+    # ---- "manual correction": use the true labels as manual_vol1
+    # labels (z, y, x) -> slices (y, x): the pipeline (x, y, z) frame is
+    # (img_y, img_x, z), matching seg coords saved as points[:, [1, 2, 0]]
+    save_label_slices(lab1.transpose(1, 2, 0), results / "manual_vol1",
+                      "manual_vol1_z%04i_t%04i.tif", 0, use_8_bit=True,
+                      compression=None)
+
+    # ---- train a small FFN on jittered copies of the vol-1 cloud
+    rng = np.random.RandomState(0)
+    centers_real = CENTERS0[:, [1, 2, 0]] * np.array([1, 1, Z_RATIO])
+    cloud = np.concatenate([centers_real + rng.randn(4, 3) * 2
+                            for _ in range(8)])
+    np.savetxt(tmp_path / "pts.txt", cloud)
+    ffn_tr = TrainFFN("ffn", points1_path=str(tmp_path / "pts.txt"),
+                      basedir=tmp_path / "ffn", seed=0)
+    ffn_tr.train(num_epochs=1, iteration=60, verbose=False)
+
+    # ---- track
+    coords_by_t = track_timelapse(
+        results, str(results / "manual_vol1" / "*.tif"),
+        (ffn_tr.params, ffn_tr.bn_state),
+        voxel_size=(1, 1, Z_RATIO), interpolation_factor=2,
+        t_range=(1, N_VOLS), grid=cfg.grid,
+        config=TrackingConfig(beta=10.0, lambda_=3.0),
+        verbose=False)
+
+    assert set(coords_by_t) == {1, 2, 3}
+    assert coords_by_t[1].shape == (4, 3)
+    # tracked positions at t=3 near the true drifted centers (real frame)
+    true3 = (CENTERS0 + 2 * DRIFT)[:, [1, 2, 0]] * np.array([1, 1, Z_RATIO])
+    err = np.linalg.norm(coords_by_t[3] - true3, axis=1)
+    assert np.median(err) < 4.0, f"tracking error: {err}"
+
+    # ---- artifacts
+    assert (results / "track_results" / "coords_real" /
+            "coords000003.npy").exists()
+    assert (results / "track_results" / "labels" /
+            "track_results_t000003_z0001.tif").exists()

@@ -145,7 +145,8 @@ def test_predict_instances_end_to_end(small_model):
     rng = np.random.RandomState(0)
     x = rng.rand(10, 40, 37).astype(np.float32)
     (labels, details), prob_map = small_model.predict_instances(x)
-    assert prob_map.shape == x.shape
+    # prob_map is at grid resolution (grid=(1,2,2))
+    assert prob_map.shape == (10, 20, 19)
     assert labels.shape == x.shape
     k = details["points"].shape[0]
     assert details["prob"].shape == (k,)
