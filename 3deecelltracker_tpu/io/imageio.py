@@ -29,12 +29,37 @@ PathPattern = Union[str, Dict]
 
 
 def imread(path: str) -> np.ndarray:
+    if str(path).lower().endswith((".tif", ".tiff")):
+        try:
+            from ..native.tiff import tiff_read
+            out = tiff_read(path)
+            if out is not None:
+                return out
+        except Exception:
+            pass
     with Image.open(path) as img:
         return np.asarray(img)
 
 
 def imread_stack(paths: List[str]) -> np.ndarray:
-    return np.stack([imread(p) for p in paths], axis=0)
+    """Stack 2-D slices into (z, h, w); native threaded decode when
+    available (grayscale TIFF), PIL otherwise."""
+    if paths and str(paths[0]).lower().endswith((".tif", ".tiff")):
+        try:
+            from ..native.tiff import tiff_read_volume
+            out = tiff_read_volume(list(paths))
+            if out is not None:
+                return out
+        except Exception:
+            pass
+    with Image.open(paths[0]) as img:
+        first = np.asarray(img)
+    out = np.empty((len(paths),) + first.shape, first.dtype)
+    out[0] = first
+    for i, p in enumerate(paths[1:], 1):
+        with Image.open(p) as img:
+            out[i] = np.asarray(img)
+    return out
 
 
 def percentile_normalize(x: np.ndarray, pmin: float = 1.0,

@@ -1,0 +1,127 @@
+"""ctypes bindings for the native TIFF codec (tiff_codec.cc).
+
+The native loader decodes a whole z-stack with a thread pool — the host-side
+bottleneck when feeding the serial tracking recurrence (SURVEY §7 hard part
+e).  Falls back to PIL transparently.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+import threading
+from pathlib import Path
+from typing import List, Optional, Tuple
+
+import numpy as np
+
+_HERE = Path(__file__).parent
+_SO = _HERE / "_tiff_codec.so"
+_SRC = _HERE / "tiff_codec.cc"
+_lock = threading.Lock()
+_lib = None
+_build_failed = False
+
+
+def _build() -> Optional[ctypes.CDLL]:
+    global _build_failed
+    try:
+        if not _SO.exists() or _SO.stat().st_mtime < _SRC.stat().st_mtime:
+            subprocess.run(
+                ["g++", "-O3", "-shared", "-fPIC", "-std=c++17",
+                 "-o", str(_SO), str(_SRC), "-lpthread"],
+                check=True, capture_output=True)
+        lib = ctypes.CDLL(str(_SO))
+        lib.t3dct_tiff_info.argtypes = [
+            ctypes.c_char_p, ctypes.POINTER(ctypes.c_int),
+            ctypes.POINTER(ctypes.c_int), ctypes.POINTER(ctypes.c_int)]
+        lib.t3dct_tiff_read.argtypes = [
+            ctypes.c_char_p, ctypes.POINTER(ctypes.c_uint16)]
+        lib.t3dct_tiff_read_volume.argtypes = [
+            ctypes.POINTER(ctypes.c_char_p), ctypes.c_int,
+            ctypes.POINTER(ctypes.c_uint16), ctypes.c_int, ctypes.c_int,
+            ctypes.c_int]
+        lib.t3dct_tiff_write.argtypes = [
+            ctypes.c_char_p, ctypes.POINTER(ctypes.c_uint16), ctypes.c_int,
+            ctypes.c_int, ctypes.c_int]
+        return lib
+    except Exception:
+        _build_failed = True
+        return None
+
+
+def _get_lib() -> Optional[ctypes.CDLL]:
+    global _lib
+    if _lib is None and not _build_failed:
+        with _lock:
+            if _lib is None and not _build_failed:
+                _lib = _build()
+    return _lib
+
+
+def native_available() -> bool:
+    return _get_lib() is not None
+
+
+def tiff_info(path: str) -> Optional[Tuple[int, int, int]]:
+    lib = _get_lib()
+    if lib is None:
+        return None
+    w = ctypes.c_int()
+    h = ctypes.c_int()
+    b = ctypes.c_int()
+    if lib.t3dct_tiff_info(str(path).encode(), ctypes.byref(w),
+                           ctypes.byref(h), ctypes.byref(b)):
+        return None
+    return w.value, h.value, b.value
+
+
+def tiff_read(path: str) -> Optional[np.ndarray]:
+    """Decode one grayscale TIFF natively; None -> caller falls back."""
+    info = tiff_info(path)
+    if info is None:
+        return None
+    w, h, bits = info
+    out = np.empty((h, w), np.uint16)
+    lib = _get_lib()
+    if lib.t3dct_tiff_read(str(path).encode(),
+                           out.ctypes.data_as(
+                               ctypes.POINTER(ctypes.c_uint16))):
+        return None
+    return out.astype(np.uint8) if bits == 8 else out
+
+
+def tiff_read_volume(paths: List[str],
+                     n_threads: int = 0) -> Optional[np.ndarray]:
+    """Decode a z-stack of same-shape slices in parallel -> (z, h, w)."""
+    lib = _get_lib()
+    if lib is None or not paths:
+        return None
+    info = tiff_info(paths[0])
+    if info is None:
+        return None
+    w, h, bits = info
+    n = len(paths)
+    out = np.empty((n, h, w), np.uint16)
+    arr = (ctypes.c_char_p * n)(*[str(p).encode() for p in paths])
+    rc = lib.t3dct_tiff_read_volume(
+        arr, n, out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint16)), w, h,
+        n_threads)
+    if rc:
+        return None
+    return out.astype(np.uint8) if bits == 8 else out
+
+
+def tiff_write(path: str, img: np.ndarray) -> bool:
+    """Write a 2-D uint8/uint16 grayscale TIFF (uncompressed)."""
+    lib = _get_lib()
+    if lib is None or img.ndim != 2:
+        return False
+    bits = 8 if img.dtype == np.uint8 else 16
+    buf = np.ascontiguousarray(img, np.uint16)
+    rc = lib.t3dct_tiff_write(
+        str(path).encode(),
+        buf.ctypes.data_as(ctypes.POINTER(ctypes.c_uint16)),
+        img.shape[1], img.shape[0], bits)
+    return rc == 0

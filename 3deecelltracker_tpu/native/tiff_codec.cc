@@ -1,0 +1,288 @@
+// Native TIFF codec + threaded volume loader.
+//
+// The reference leans on tifffile/PIL C internals for all image IO
+// (SURVEY §2.2 N7).  This is the TPU build's native data-loader: a minimal,
+// dependency-free reader for the data contract actually used by the
+// pipeline — single-page little-endian grayscale TIFFs, 8/16-bit,
+// uncompressed or LZW (incl. horizontal predictor), strip-based — plus a
+// std::thread fan-out that decodes a whole z-stack in parallel, and an
+// uncompressed writer for label output.
+//
+// Exposed via a C ABI for ctypes (no pybind11 in this image).
+
+#include <cstdint>
+#include <cstdio>
+#include <cstring>
+#include <string>
+#include <thread>
+#include <vector>
+
+namespace {
+
+struct TiffInfo {
+  uint32_t width = 0, height = 0;
+  uint16_t bits = 8, compression = 1, predictor = 1, samples = 1;
+  std::vector<uint64_t> strip_offsets;
+  std::vector<uint64_t> strip_counts;
+  uint32_t rows_per_strip = 0;
+};
+
+bool read_file(const char* path, std::vector<uint8_t>& buf) {
+  FILE* f = std::fopen(path, "rb");
+  if (!f) return false;
+  std::fseek(f, 0, SEEK_END);
+  long n = std::ftell(f);
+  std::fseek(f, 0, SEEK_SET);
+  buf.resize(static_cast<size_t>(n));
+  size_t got = std::fread(buf.data(), 1, buf.size(), f);
+  std::fclose(f);
+  return got == buf.size();
+}
+
+uint16_t rd16(const uint8_t* p) { return p[0] | (p[1] << 8); }
+uint32_t rd32(const uint8_t* p) {
+  return p[0] | (p[1] << 8) | (p[2] << 16) | (uint32_t(p[3]) << 24);
+}
+
+bool parse_ifd(const std::vector<uint8_t>& d, TiffInfo* info) {
+  if (d.size() < 8 || d[0] != 'I' || d[1] != 'I' || rd16(&d[2]) != 42)
+    return false;  // little-endian classic TIFF only
+  uint32_t ifd = rd32(&d[4]);
+  if (ifd + 2 > d.size()) return false;
+  uint16_t n = rd16(&d[ifd]);
+  auto read_values = [&](uint32_t off, uint16_t type, uint32_t count,
+                         std::vector<uint64_t>* out) {
+    size_t size = (type == 3) ? 2 : 4;  // SHORT or LONG
+    const uint8_t* src;
+    uint32_t inline_off = off + 8;
+    if (count * size <= 4) src = &d[inline_off];
+    else src = &d[rd32(&d[inline_off])];
+    for (uint32_t i = 0; i < count; ++i) {
+      out->push_back(size == 2 ? rd16(src + 2 * i) : rd32(src + 4 * i));
+    }
+  };
+  for (uint16_t i = 0; i < n; ++i) {
+    uint32_t e = ifd + 2 + 12 * i;
+    if (e + 12 > d.size()) return false;
+    uint16_t tag = rd16(&d[e]);
+    uint16_t type = rd16(&d[e + 2]);
+    uint32_t count = rd32(&d[e + 4]);
+    std::vector<uint64_t> vals;
+    switch (tag) {
+      case 256: read_values(e, type, count, &vals);
+        info->width = vals[0]; break;
+      case 257: read_values(e, type, count, &vals);
+        info->height = vals[0]; break;
+      case 258: read_values(e, type, count, &vals);
+        info->bits = vals[0]; break;
+      case 259: read_values(e, type, count, &vals);
+        info->compression = vals[0]; break;
+      case 273: read_values(e, type, count, &info->strip_offsets); break;
+      case 277: read_values(e, type, count, &vals);
+        info->samples = vals[0]; break;
+      case 278: read_values(e, type, count, &vals);
+        info->rows_per_strip = vals[0]; break;
+      case 279: read_values(e, type, count, &info->strip_counts); break;
+      case 317: read_values(e, type, count, &vals);
+        info->predictor = vals[0]; break;
+      default: break;
+    }
+  }
+  if (info->rows_per_strip == 0) info->rows_per_strip = info->height;
+  return info->width && info->height && !info->strip_offsets.empty();
+}
+
+// TIFF-variant LZW decode: MSB-first codes, Clear=256, EOI=257, early
+// code-width change at table sizes 511/1023/2047.
+bool lzw_decode(const uint8_t* src, size_t src_len, uint8_t* dst,
+                size_t dst_len) {
+  constexpr int kClear = 256, kEoi = 257;
+  std::vector<std::string> table;
+  auto reset = [&]() {
+    table.clear();
+    table.reserve(4096);
+    for (int i = 0; i < 256; ++i) table.push_back(std::string(1, char(i)));
+    table.push_back("");  // 256
+    table.push_back("");  // 257
+  };
+  reset();
+  int bits = 9;
+  uint32_t acc = 0;
+  int acc_bits = 0;
+  size_t si = 0, di = 0;
+  int prev = -1;
+  while (true) {
+    while (acc_bits < bits && si < src_len) {
+      acc = (acc << 8) | src[si++];
+      acc_bits += 8;
+    }
+    if (acc_bits < bits) break;
+    int code = (acc >> (acc_bits - bits)) & ((1 << bits) - 1);
+    acc_bits -= bits;
+    if (code == kEoi) break;
+    if (code == kClear) {
+      reset();
+      bits = 9;
+      prev = -1;
+      continue;
+    }
+    std::string entry;
+    if (code < int(table.size()) && (code < 256 || !table[code].empty())) {
+      entry = table[code];
+    } else if (prev >= 0) {
+      entry = table[prev] + table[prev][0];
+    } else {
+      return false;
+    }
+    if (di + entry.size() > dst_len) return false;
+    std::memcpy(dst + di, entry.data(), entry.size());
+    di += entry.size();
+    if (prev >= 0) table.push_back(table[prev] + entry[0]);
+    prev = code;
+    // early change: widen one code before the table is actually full
+    if (table.size() >= size_t((1 << bits) - 1) && bits < 12) ++bits;
+  }
+  return di == dst_len;
+}
+
+void undo_hpredictor(uint8_t* row, uint32_t width, uint16_t bits) {
+  if (bits == 8) {
+    for (uint32_t x = 1; x < width; ++x) row[x] += row[x - 1];
+  } else {
+    uint16_t* r = reinterpret_cast<uint16_t*>(row);
+    for (uint32_t x = 1; x < width; ++x) r[x] += r[x - 1];
+  }
+}
+
+int decode_into(const TiffInfo& info, const std::vector<uint8_t>& d,
+                uint16_t* out) {
+  size_t bytes_per_px = info.bits / 8;
+  size_t row_bytes = size_t(info.width) * bytes_per_px;
+  std::vector<uint8_t> raw(row_bytes * info.height);
+  size_t row0 = 0;
+  for (size_t s = 0; s < info.strip_offsets.size(); ++s) {
+    uint32_t rows = std::min<uint32_t>(info.rows_per_strip,
+                                       info.height - row0);
+    size_t want = row_bytes * rows;
+    const uint8_t* src = &d[info.strip_offsets[s]];
+    size_t src_len = info.strip_counts.empty() ? want
+                                               : info.strip_counts[s];
+    uint8_t* dst = raw.data() + row_bytes * row0;
+    if (info.compression == 1) {
+      if (src_len < want) return 3;
+      std::memcpy(dst, src, want);
+    } else if (info.compression == 5) {
+      if (!lzw_decode(src, src_len, dst, want)) return 4;
+    } else {
+      return 5;  // unsupported compression
+    }
+    if (info.predictor == 2) {
+      for (uint32_t r = 0; r < rows; ++r)
+        undo_hpredictor(dst + row_bytes * r, info.width, info.bits);
+    }
+    row0 += rows;
+  }
+  size_t n = size_t(info.width) * info.height;
+  if (info.bits == 8) {
+    for (size_t i = 0; i < n; ++i) out[i] = raw[i];
+  } else {
+    std::memcpy(out, raw.data(), n * 2);
+  }
+  return 0;
+}
+
+}  // namespace
+
+extern "C" {
+
+// returns 0 on success; fills width/height/bits
+int t3dct_tiff_info(const char* path, int* width, int* height, int* bits) {
+  std::vector<uint8_t> d;
+  if (!read_file(path, d)) return 1;
+  TiffInfo info;
+  if (!parse_ifd(d, &info)) return 2;
+  if (info.samples != 1 || (info.bits != 8 && info.bits != 16)) return 6;
+  *width = int(info.width);
+  *height = int(info.height);
+  *bits = int(info.bits);
+  return 0;
+}
+
+// decode one image into a caller uint16 buffer of width*height elements
+int t3dct_tiff_read(const char* path, uint16_t* out) {
+  std::vector<uint8_t> d;
+  if (!read_file(path, d)) return 1;
+  TiffInfo info;
+  if (!parse_ifd(d, &info)) return 2;
+  if (info.samples != 1 || (info.bits != 8 && info.bits != 16)) return 6;
+  return decode_into(info, d, out);
+}
+
+// decode n same-shaped slices in parallel into out (n * w * h uint16)
+int t3dct_tiff_read_volume(const char** paths, int n, uint16_t* out,
+                           int width, int height, int n_threads) {
+  if (n_threads <= 0) n_threads = std::thread::hardware_concurrency();
+  if (n_threads > n) n_threads = n;
+  std::vector<int> status(n, 0);
+  size_t stride = size_t(width) * height;
+  auto worker = [&](int tid) {
+    for (int i = tid; i < n; i += n_threads) {
+      status[i] = t3dct_tiff_read(paths[i], out + stride * i);
+    }
+  };
+  std::vector<std::thread> threads;
+  for (int t = 0; t < n_threads; ++t) threads.emplace_back(worker, t);
+  for (auto& t : threads) t.join();
+  for (int s : status)
+    if (s) return s;
+  return 0;
+}
+
+// write an uncompressed grayscale TIFF (bits 8 or 16)
+int t3dct_tiff_write(const char* path, const uint16_t* data, int width,
+                     int height, int bits) {
+  if (bits != 8 && bits != 16) return 6;
+  size_t bpp = bits / 8;
+  size_t payload = size_t(width) * height * bpp;
+  std::vector<uint8_t> px(payload);
+  if (bits == 8) {
+    for (size_t i = 0; i < size_t(width) * height; ++i)
+      px[i] = uint8_t(data[i]);
+  } else {
+    std::memcpy(px.data(), data, payload);
+  }
+  FILE* f = std::fopen(path, "wb");
+  if (!f) return 1;
+  uint32_t data_off = 8;
+  uint32_t ifd_off = data_off + uint32_t(payload);
+  if (ifd_off & 1) ++ifd_off;
+  uint8_t header[8] = {'I', 'I', 42, 0};
+  std::memcpy(header + 4, &ifd_off, 4);
+  std::fwrite(header, 1, 8, f);
+  std::fwrite(px.data(), 1, payload, f);
+  if ((data_off + payload) & 1) std::fputc(0, f);
+
+  auto entry = [&](uint16_t tag, uint16_t type, uint32_t count,
+                   uint32_t value) {
+    std::fwrite(&tag, 2, 1, f);
+    std::fwrite(&type, 2, 1, f);
+    std::fwrite(&count, 4, 1, f);
+    std::fwrite(&value, 4, 1, f);
+  };
+  uint16_t n_entries = 8;
+  std::fwrite(&n_entries, 2, 1, f);
+  entry(256, 3, 1, width);                 // ImageWidth
+  entry(257, 3, 1, height);                // ImageLength
+  entry(258, 3, 1, bits);                  // BitsPerSample
+  entry(259, 3, 1, 1);                     // Compression: none
+  entry(262, 3, 1, 1);                     // Photometric: BlackIsZero
+  entry(273, 4, 1, data_off);              // StripOffsets
+  entry(278, 3, 1, height);                // RowsPerStrip
+  entry(279, 4, 1, uint32_t(payload));     // StripByteCounts
+  uint32_t next = 0;
+  std::fwrite(&next, 4, 1, f);
+  std::fclose(f);
+  return 0;
+}
+
+}  // extern "C"

@@ -1,0 +1,76 @@
+"""Native TIFF codec: roundtrips against PIL (incl. LZW decode), threaded
+volume loads, and the imageio integration."""
+
+import numpy as np
+import pytest
+from PIL import Image
+
+from t3dct.native.tiff import (native_available, tiff_read,
+                               tiff_read_volume, tiff_write, tiff_info)
+from t3dct.io.imageio import imread, imread_stack
+
+pytestmark = pytest.mark.skipif(not native_available(),
+                                reason="native toolchain unavailable")
+
+
+def _rand16(shape, seed):
+    return (np.random.RandomState(seed).rand(*shape) * 60000
+            ).astype(np.uint16)
+
+
+def test_native_read_pil_written_uncompressed(tmp_path):
+    img = _rand16((37, 53), 0)
+    Image.fromarray(img).save(tmp_path / "a.tif")
+    got = tiff_read(tmp_path / "a.tif")
+    np.testing.assert_array_equal(got, img)
+    assert tiff_info(tmp_path / "a.tif") == (53, 37, 16)
+
+
+def test_native_read_pil_written_lzw(tmp_path):
+    img = _rand16((64, 48), 1)
+    # LZW-compress like the pipeline's label writer
+    Image.fromarray(img).save(tmp_path / "b.tif", compression="tiff_lzw")
+    got = tiff_read(tmp_path / "b.tif")
+    np.testing.assert_array_equal(got, img)
+
+
+def test_native_read_8bit_lzw(tmp_path):
+    img = (np.random.RandomState(2).rand(30, 40) * 255).astype(np.uint8)
+    Image.fromarray(img).save(tmp_path / "c.tif", compression="tiff_lzw")
+    got = tiff_read(tmp_path / "c.tif")
+    assert got.dtype == np.uint8
+    np.testing.assert_array_equal(got, img)
+
+
+def test_native_write_pil_read(tmp_path):
+    img = _rand16((41, 29), 3)
+    assert tiff_write(tmp_path / "d.tif", img)
+    with Image.open(tmp_path / "d.tif") as f:
+        got = np.asarray(f)
+    np.testing.assert_array_equal(got, img)
+    img8 = (img % 256).astype(np.uint8)
+    assert tiff_write(tmp_path / "e.tif", img8)
+    with Image.open(tmp_path / "e.tif") as f:
+        np.testing.assert_array_equal(np.asarray(f), img8)
+
+
+def test_threaded_volume_load(tmp_path):
+    vol = _rand16((12, 25, 33), 4)
+    paths = []
+    for z in range(12):
+        p = tmp_path / f"z{z:03d}.tif"
+        Image.fromarray(vol[z]).save(p, compression="tiff_lzw")
+        paths.append(str(p))
+    got = tiff_read_volume(paths, n_threads=4)
+    np.testing.assert_array_equal(got, vol)
+
+
+def test_imageio_integration(tmp_path):
+    vol = _rand16((5, 20, 22), 5)
+    paths = []
+    for z in range(5):
+        p = tmp_path / f"s{z:02d}.tif"
+        Image.fromarray(vol[z]).save(p)
+        paths.append(str(p))
+    np.testing.assert_array_equal(imread(paths[0]), vol[0])
+    np.testing.assert_array_equal(imread_stack(paths), vol)
