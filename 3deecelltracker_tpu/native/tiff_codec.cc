@@ -93,21 +93,29 @@ bool parse_ifd(const std::vector<uint8_t>& d, TiffInfo* info) {
 }
 
 // TIFF-variant LZW decode: MSB-first codes, Clear=256, EOI=257, early
-// code-width change at table sizes 511/1023/2047.
+// code-width change at table sizes 511/1023/2047.  Allocation-free hot
+// loop: the string table is (parent code, tail byte, length) arrays and
+// entries are emitted by walking parent pointers backwards.
 bool lzw_decode(const uint8_t* src, size_t src_len, uint8_t* dst,
                 size_t dst_len) {
-  constexpr int kClear = 256, kEoi = 257;
-  std::vector<std::string> table;
+  constexpr int kClear = 256, kEoi = 257, kMax = 4096;
+  static thread_local uint16_t parent[kMax];
+  static thread_local uint8_t tail[kMax];
+  static thread_local uint8_t first[kMax];
+  static thread_local uint32_t length[kMax];
+  int next_code;
   auto reset = [&]() {
-    table.clear();
-    table.reserve(4096);
-    for (int i = 0; i < 256; ++i) table.push_back(std::string(1, char(i)));
-    table.push_back("");  // 256
-    table.push_back("");  // 257
+    for (int i = 0; i < 256; ++i) {
+      parent[i] = 0xFFFF;
+      tail[i] = uint8_t(i);
+      first[i] = uint8_t(i);
+      length[i] = 1;
+    }
+    next_code = 258;
   };
   reset();
   int bits = 9;
-  uint32_t acc = 0;
+  uint64_t acc = 0;
   int acc_bits = 0;
   size_t si = 0, di = 0;
   int prev = -1;
@@ -117,7 +125,7 @@ bool lzw_decode(const uint8_t* src, size_t src_len, uint8_t* dst,
       acc_bits += 8;
     }
     if (acc_bits < bits) break;
-    int code = (acc >> (acc_bits - bits)) & ((1 << bits) - 1);
+    int code = int((acc >> (acc_bits - bits)) & ((1u << bits) - 1));
     acc_bits -= bits;
     if (code == kEoi) break;
     if (code == kClear) {
@@ -126,21 +134,48 @@ bool lzw_decode(const uint8_t* src, size_t src_len, uint8_t* dst,
       prev = -1;
       continue;
     }
-    std::string entry;
-    if (code < int(table.size()) && (code < 256 || !table[code].empty())) {
-      entry = table[code];
-    } else if (prev >= 0) {
-      entry = table[prev] + table[prev][0];
+    uint32_t entry_len;
+    uint8_t first_char;
+    if (code < next_code && code != kClear && code != kEoi) {
+      entry_len = length[code];
+      first_char = first[code];
+      if (di + entry_len > dst_len) return false;
+      // emit by walking parents, writing back-to-front
+      uint8_t* w = dst + di + entry_len;
+      int c = code;
+      while (true) {
+        *--w = tail[c];
+        uint16_t p = parent[c];
+        if (p == 0xFFFF) break;
+        c = p;
+      }
+    } else if (prev >= 0 && code == next_code) {
+      // KwKwK case: entry = table[prev] + first(table[prev])
+      entry_len = length[prev] + 1;
+      first_char = first[prev];
+      if (di + entry_len > dst_len) return false;
+      uint8_t* w = dst + di + entry_len;
+      *--w = first[prev];
+      int c = prev;
+      while (true) {
+        *--w = tail[c];
+        uint16_t p = parent[c];
+        if (p == 0xFFFF) break;
+        c = p;
+      }
     } else {
       return false;
     }
-    if (di + entry.size() > dst_len) return false;
-    std::memcpy(dst + di, entry.data(), entry.size());
-    di += entry.size();
-    if (prev >= 0) table.push_back(table[prev] + entry[0]);
+    di += entry_len;
+    if (prev >= 0 && next_code < kMax) {
+      parent[next_code] = uint16_t(prev);
+      tail[next_code] = first_char;
+      first[next_code] = first[prev];
+      length[next_code] = length[prev] + 1;
+      ++next_code;
+    }
     prev = code;
-    // early change: widen one code before the table is actually full
-    if (table.size() >= size_t((1 << bits) - 1) && bits < 12) ++bits;
+    if (next_code >= (1 << bits) - 1 && bits < 12) ++bits;
   }
   return di == dst_len;
 }
