@@ -18,26 +18,42 @@ import jax.numpy as jnp
 
 def _peel_loop(match_matrix: jax.Array, threshold: float
                ) -> Tuple[jax.Array, jax.Array, jax.Array]:
-    """Greedy peel: repeatedly take the global max > threshold, zero its
-    row/col.  Returns (pair mask (m, n) bool, n_pairs, consumed matrix)."""
+    """Greedy peel: repeatedly take the global max >= threshold, zero its
+    row/col.  Returns (pair mask (m, n) bool, n_pairs, consumed matrix).
+
+    TPU implementation: mutual-max rounds instead of one-at-a-time argmax.
+    Each round accepts every entry that is simultaneously the max of its
+    row AND of its column among remaining entries, then zeroes those
+    rows/cols.  For distinct scores this yields exactly the sequential
+    greedy matching (the global max is always mutual-max; any mutual-max
+    entry cannot be blocked by a larger conflicting entry), in O(log n)
+    vectorized rounds instead of O(n) sequential argmax peels.
+    """
     m, n = match_matrix.shape
-    max_pairs = min(m, n)
+    mat0 = match_matrix.astype(jnp.float32)
 
     def cond(carry):
         mat, pairs, count = carry
-        return (jnp.max(mat) >= threshold) & (count < max_pairs)
+        return jnp.max(mat) >= threshold
 
     def body(carry):
         mat, pairs, count = carry
-        flat_idx = jnp.argmax(mat)
-        tgt = flat_idx // n
-        ref = flat_idx % n
-        pairs = pairs.at[tgt, ref].set(True)
-        mat = mat.at[tgt, :].set(0.0)
-        mat = mat.at[:, ref].set(0.0)
-        return mat, pairs, count + 1
+        row_max = jnp.max(mat, axis=1, keepdims=True)
+        col_max = jnp.max(mat, axis=0, keepdims=True)
+        mutual = (mat >= threshold) & (mat == row_max) & (mat == col_max) \
+            & (mat > 0)
+        # guard pathological ties: keep only the first mutual entry per
+        # row and per column (argmax-consistent tie-break)
+        first_in_row = jnp.cumsum(mutual, axis=1) == 1
+        mutual = mutual & first_in_row
+        first_in_col = jnp.cumsum(mutual, axis=0) == 1
+        mutual = mutual & first_in_col
+        pairs = pairs | mutual
+        used_row = jnp.any(mutual, axis=1, keepdims=True)
+        used_col = jnp.any(mutual, axis=0, keepdims=True)
+        mat = jnp.where(used_row | used_col, 0.0, mat)
+        return mat, pairs, count + jnp.sum(mutual.astype(jnp.int32))
 
-    mat0 = match_matrix.astype(jnp.float32)
     pairs0 = jnp.zeros((m, n), bool)
     mat, pairs, count = jax.lax.while_loop(
         cond, body, (mat0, pairs0, jnp.int32(0)))

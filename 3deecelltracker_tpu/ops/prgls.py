@@ -65,12 +65,27 @@ def prgls_with_two_ref(init_match: jax.Array,
     discarded (:339-341), gamma clamps at 1e-4 (:347-348), convergence when
     the ref-movement norm drops below 1e-3 (:353-356), iteration count runs
     1..max_iteration-1 (:328).
+
+    f32 note: the reference runs float64; when sigma^2 collapses, the
+    M-step system's condition number exceeds f32 range and the movement
+    norm plateaus above the 1e-3 threshold instead of crossing it (SURVEY
+    §7 hard part d).  A stagnation stop (``stall_limit`` iterations without
+    the norm improving below 99% of its best) halts the loop at the f32
+    noise floor — the point where the f64 reference would have converged —
+    instead of burning the full ``max_iteration`` budget.
     """
     m, n = init_match.shape
     if tgt_mask is None:
         tgt_mask = jnp.ones((m,), bool)
     if ref_mask is None:
         ref_mask = jnp.ones((n,), bool)
+
+    # TPU matmuls default to bf16-precision passes; the EM's 1e-3
+    # convergence tail (trackerlite.py:301-304) is unreachable at that
+    # precision and the loop would always hit max_iteration.  Force true
+    # f32 for everything traced below.
+    ctx = jax.default_matmul_precision("highest")
+    ctx.__enter__()
 
     beta_sq = beta ** 2
     valid_pair = tgt_mask[:, None] & ref_mask[None, :]
@@ -104,8 +119,10 @@ def prgls_with_two_ref(init_match: jax.Array,
         c = jnp.linalg.solve(coeff.T, dep.T).T            # (3, n)
         return c
 
+    stall_limit = 30.0
+
     def body(carry):
-        pred_ref, pred_tracked, sigma_sq, gamma, _, _, it = carry
+        pred_ref, pred_tracked, sigma_sq, gamma, _, aux, it = carry
         post = e_step(pred_ref, sigma_sq, gamma)
         c = m_step(post, pred_ref, sigma_sq)
         move_ref = (c @ gram_nn).T                        # (n, 3)
@@ -120,24 +137,32 @@ def prgls_with_two_ref(init_match: jax.Array,
         sigma_sq = jnp.sum(_masked(d2, valid_pair) * post) / (3.0 * sum_post)
         move_norm = jnp.sqrt(jnp.sum(jnp.square(
             _masked(move_ref, ref_mask[:, None]))))
+        # stagnation tracking (f32 noise floor, see docstring)
+        best = aux[1]
+        improving = move_norm < 0.99 * best
+        stall = jnp.where(improving, 0.0, aux[2] + 1.0)
+        best = jnp.minimum(best, move_norm)
         return (pred_ref, pred_tracked, sigma_sq, gamma, post,
-                jnp.stack([move_norm, 0.0]), it + 1)
+                jnp.stack([move_norm, best, stall]), it + 1)
 
     def cond(carry):
         *_, aux, it = carry
-        converged = (it > 1) & (aux[0] < convergence_epsilon)
+        converged = (it > 1) & ((aux[0] < convergence_epsilon)
+                                | (aux[2] >= stall_limit))
         return (it < max_iteration) & ~converged
 
     post0 = jnp.zeros((m, n), jnp.float32)
     carry0 = (ptrs_ref.astype(jnp.float32),
               tracked_ref.astype(jnp.float32),
               sigma_sq0, jnp.float32(0.05), post0,
-              jnp.asarray([jnp.inf, 0.0], jnp.float32), jnp.int32(1))
+              jnp.asarray([jnp.inf, jnp.inf, 0.0], jnp.float32),
+              jnp.int32(1))
     pred_ref, pred_tracked, sigma_sq, gamma, post, aux, it = \
         jax.lax.while_loop(cond, body, carry0)
 
     # final C for callers that replay motion (legacy Tracker path)
     c_final = m_step(post, pred_ref, sigma_sq)
+    ctx.__exit__(None, None, None)
     return PrglsResult(pred_tracked, pred_ref, post, it, c_final)
 
 
@@ -178,6 +203,8 @@ def pr_gls_quick(x_ref: jax.Array, y_tgt: jax.Array, corr: jax.Array,
     """
     from .matching import legacy_init_match
 
+    ctx = jax.default_matmul_precision("highest")
+    ctx.__enter__()
     n = x_ref.shape[0]
     m = y_tgt.shape[0]
     init_match = legacy_init_match(corr, threshold=0.5)
@@ -211,4 +238,5 @@ def pr_gls_quick(x_ref: jax.Array, y_tgt: jax.Array, corr: jax.Array,
     # reference iterates range(1, max_iteration) -> max_iteration-1 rounds
     t_x, sigma_sq, gamma, post, c = jax.lax.fori_loop(
         1, max_iteration, body, carry0)
+    ctx.__exit__(None, None, None)
     return LegacyPrglsResult(post, t_x, c)

@@ -30,16 +30,40 @@ def center_of_mass(weights: jax.Array, labels: jax.Array,
     range(1, max_labels+1))``: rows for labels absent from ``labels`` (or
     with zero total weight) are NaN, matching scipy's 0/0.
 
+    TPU note: implemented as a chunked one-hot matmul (the per-label sums
+    become (L+1, chunk) @ (chunk, ndim+1) MXU contractions) — an order of
+    magnitude faster than scatter-add segment sums for the tracker's
+    per-iteration volumes.
+
     Returns (max_labels, ndim) float32.
     """
+    ndim = labels.ndim
     w = weights.astype(jnp.float32).reshape(-1)
-    lab = labels.reshape(-1)
-    seg = jnp.clip(lab, 0, max_labels)
-    total = jnp.zeros((max_labels + 1,), jnp.float32).at[seg].add(w)
+    lab = jnp.clip(labels.reshape(-1), 0, max_labels)
     coords = _coord_grids(labels.shape)
-    sums = [jnp.zeros((max_labels + 1,), jnp.float32)
-            .at[seg].add(w * c.reshape(-1)) for c in coords]
-    com = jnp.stack([s / total for s in sums], axis=1)
+    feats = jnp.stack([w] + [w * c.reshape(-1) for c in coords], axis=1)
+
+    chunk = 1 << 16
+    v = w.shape[0]
+    n_chunks = -(-v // chunk)
+    pad = n_chunks * chunk - v
+    lab_p = jnp.pad(lab, (0, pad))                  # padded rows -> label 0
+    feats_p = jnp.pad(feats, ((0, pad), (0, 0)))
+    ids = jnp.arange(max_labels + 1, dtype=lab.dtype)
+
+    def body(acc, args):
+        lab_c, feats_c = args
+        onehot = (lab_c[None, :] == ids[:, None]).astype(jnp.float32)
+        acc = acc + jax.lax.dot(onehot, feats_c,
+                                precision=jax.lax.Precision.HIGHEST)
+        return acc, None
+
+    acc0 = jnp.zeros((max_labels + 1, ndim + 1), jnp.float32)
+    acc, _ = jax.lax.scan(
+        body, acc0, (lab_p.reshape(n_chunks, chunk),
+                     feats_p.reshape(n_chunks, chunk, ndim + 1)))
+    total = acc[:, 0:1]
+    com = acc[:, 1:] / total
     return com[1:]
 
 

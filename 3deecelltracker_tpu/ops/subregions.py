@@ -134,21 +134,32 @@ def build_subregion_atlas(label_image: jax.Array,
                           tuple(int(s) for s in label_image.shape))
 
 
-def _paste_loop(canvas_l, canvas_m, boxes, positions, include):
-    """Sequential scatter-add of per-cell boxes at dynamic positions."""
-    n = boxes.shape[0]
+def _paste_scatter(canvas_shape, boxes, positions, include):
+    """One batched scatter-add of all cells' boxes at dynamic positions.
 
-    def body(i, carry):
-        cl, cm = carry
-        box = boxes[i].astype(jnp.int32) * include[i].astype(jnp.int32)
-        pos = positions[i]
-        patch_l = jax.lax.dynamic_slice(cl, pos, box.shape)
-        patch_m = jax.lax.dynamic_slice(cm, pos, box.shape)
-        cl = jax.lax.dynamic_update_slice(cl, patch_l + box * (i + 1), pos)
-        cm = jax.lax.dynamic_update_slice(cm, patch_m + box, pos)
-        return cl, cm
-
-    return jax.lax.fori_loop(0, n, body, (canvas_l, canvas_m))
+    boxes: (n, bx, by, bz) bool; positions: (n, 3) clamped into the padded
+    canvas.  Returns (labels, overlap-count) int32 canvases.  A single
+    scatter replaces the reference's per-cell Python paste loop
+    (coord_image_transformer.py:362-368) — latency O(1) instead of O(n).
+    """
+    n, bx, by, bz = boxes.shape
+    cx, cy, cz = canvas_shape
+    ii = jax.lax.broadcasted_iota(jnp.int32, (n, bx, by, bz), 1)
+    jj = jax.lax.broadcasted_iota(jnp.int32, (n, bx, by, bz), 2)
+    kk = jax.lax.broadcasted_iota(jnp.int32, (n, bx, by, bz), 3)
+    px = positions[:, 0, None, None, None] + ii
+    py = positions[:, 1, None, None, None] + jj
+    pz = positions[:, 2, None, None, None] + kk
+    flat_idx = (px * cy + py) * cz + pz
+    vals = boxes & include[:, None, None, None]
+    vals_i = vals.astype(jnp.int32)
+    cell_ids = jax.lax.broadcasted_iota(
+        jnp.int32, (n, bx, by, bz), 0) + 1
+    labels = jnp.zeros((cx * cy * cz,), jnp.int32).at[
+        flat_idx.reshape(-1)].add((vals_i * cell_ids).reshape(-1))
+    overlap = jnp.zeros((cx * cy * cz,), jnp.int32).at[
+        flat_idx.reshape(-1)].add(vals_i.reshape(-1))
+    return labels.reshape(canvas_shape), overlap.reshape(canvas_shape)
 
 
 @jax.jit
@@ -172,14 +183,12 @@ def move_cells_full(atlas: SubregionAtlas,
     bx, by, bzf = atlas.box_shape
     pad = (bx, by, bzf)
     canvas_shape = tuple(s + 2 * p for s, p in zip(full_shape, pad))
-    cl = jnp.zeros(canvas_shape, jnp.int32)
-    cm = jnp.zeros(canvas_shape, jnp.int32)
     pos = atlas.origins + movements.astype(jnp.int32) + \
         jnp.asarray(pad, jnp.int32)
     # clamp so even fully-out-of-range cells stay inside the padded canvas
     pos = jnp.clip(pos, 0, jnp.asarray(
         [c - b for c, b in zip(canvas_shape, atlas.box_shape)], jnp.int32))
-    cl, cm = _paste_loop(cl, cm, atlas.boxes, pos, include)
+    cl, cm = _paste_scatter(canvas_shape, atlas.boxes, pos, include)
     sl = tuple(slice(p, p + s) for p, s in zip(pad, full_shape))
     return cl[sl], cm[sl]
 
@@ -208,35 +217,24 @@ def move_cells_sampled(atlas: SubregionAtlas,
 
     pad = (bx, by, bz + 1)
     canvas_shape = (x + 2 * pad[0], y + 2 * pad[1], z + 2 * pad[2])
-    cl = jnp.zeros(canvas_shape, jnp.int32)
-    cm = jnp.zeros(canvas_shape, jnp.int32)
 
     pos_interp = atlas.origins + movements.astype(jnp.int32)
     # boxes reshaped so plane index p = k*f + r
     boxes_r = atlas.boxes.reshape(n, bx, by, bz, f)
 
-    def body(i, carry):
-        cl, cm = carry
-        z0 = pos_interp[i, 2]
-        # plane phase r with (z0 + p) ≡ off (mod f)
-        r = jnp.mod(off - z0, f)
-        planes = jax.lax.dynamic_slice(
-            boxes_r[i], (0, 0, 0, r), (bx, by, bz, 1))[..., 0]
-        box = planes.astype(jnp.int32) * include[i].astype(jnp.int32)
-        # sampled-frame z of plane k: s = (z0 + r - off)/f + k
-        s0 = (z0 + r - off) // f
-        pos = jnp.asarray([pos_interp[i, 0] + pad[0],
-                           pos_interp[i, 1] + pad[1],
-                           s0 + pad[2]], jnp.int32)
-        pos = jnp.clip(pos, 0, jnp.asarray(
-            [canvas_shape[0] - bx, canvas_shape[1] - by,
-             canvas_shape[2] - bz], jnp.int32))
-        patch_l = jax.lax.dynamic_slice(cl, pos, box.shape)
-        patch_m = jax.lax.dynamic_slice(cm, pos, box.shape)
-        cl = jax.lax.dynamic_update_slice(cl, patch_l + box * (i + 1), pos)
-        cm = jax.lax.dynamic_update_slice(cm, patch_m + box, pos)
-        return cl, cm
-
-    cl, cm = jax.lax.fori_loop(0, n, body, (cl, cm))
+    z0 = pos_interp[:, 2]
+    # plane phase r with (z0 + p) ≡ off (mod f)
+    r = jnp.mod(off - z0, f)
+    planes = jnp.take_along_axis(
+        boxes_r, r[:, None, None, None, None], axis=4)[..., 0]
+    # sampled-frame z of plane k: s = (z0 + r - off)/f + k
+    s0 = (z0 + r - off) // f
+    pos = jnp.stack([pos_interp[:, 0] + pad[0],
+                     pos_interp[:, 1] + pad[1],
+                     s0 + pad[2]], axis=1)
+    pos = jnp.clip(pos, 0, jnp.asarray(
+        [canvas_shape[0] - bx, canvas_shape[1] - by,
+         canvas_shape[2] - bz], jnp.int32))
+    cl, cm = _paste_scatter(canvas_shape, planes, pos, include)
     sl = tuple(slice(p, p + s) for p, s in zip(pad, (x, y, z)))
     return cl[sl], cm[sl]
