@@ -72,9 +72,13 @@ class StarDist3DNet:
         def conv(name, h):
             return act(L.conv3d(params[name], h, compute_dtype))
 
-        h = conv("stem", x)
+        # grid subsampling happens BEFORE the stem (like stardist's pooled
+        # input): the C_in=1 full-resolution conv is the single most
+        # expensive op otherwise (poor MXU packing at 1 input channel)
+        h = x
         if any(g > 1 for g in cfg.grid):
             h = L.max_pool3d(h, cfg.grid)
+        h = conv("stem", h)
         skips = []
         for lvl in range(cfg.unet_n_depth):
             h = conv(f"down{lvl}_0", h)
