@@ -238,6 +238,83 @@ class Tracker:
                           "auto_R_t%04i_z%04i.tif", 1, self.use_8_bit)
         print("Segmented volume 1 and saved it")
 
+    # ---- U-Net retraining (tracker.py:923-1044) ------------------------------
+    def _remove_2d_boundary(self, labels3d: np.ndarray) -> np.ndarray:
+        """Remove x-y boundaries between touching cells (tracker.py:944-962)
+        so retraining forces the net to predict boundaries as background."""
+        from ..ops.watershed import find_boundaries_outer
+        out = labels3d.copy()
+        for z in range(out.shape[2]):
+            b = np.asarray(find_boundaries_outer(
+                jnp.asarray(out[:, :, z]), connectivity=2))
+            out[:, :, z][b] = 0
+        return out
+
+    def retrain_unet(self, iteration: int = 10,
+                     weights_name: str = "unet_weights_retrain_",
+                     steps_per_epoch: int = 60, verbose: bool = True):
+        """Retrain the U-Net on the vol-1 manual segmentation
+        (tracker.py:964-1007): training patches from vol 1 with touching-
+        cell x-y boundaries removed; weights saved at every val-loss
+        improvement."""
+        from ..models.train_unet import TrainingUNet3D
+        image_raw_vol1 = self._read_volume(1)
+        label_vol1 = (self._remove_2d_boundary(
+            self.segmentation_manual_relabels) > 0).astype(np.int32)
+        trainer = TrainingUNet3D(
+            noise_level=self.noise_level,
+            folder_path=Path(self.paths.unet_weights) / "retrain",
+            model=self.unet_model)
+        trainer.params, trainer.bn_state = load_pytree(
+            (trainer.params, trainer.bn_state),
+            os.path.join(self.paths.unet_weights, "weights_initial.npz"))
+        trainer.opt_state = trainer.optimizer.init(trainer.params)
+        trainer.load_dataset_arrays(image_raw_vol1, label_vol1,
+                                    image_raw_vol1, label_vol1)
+        trainer.preprocess()
+        self.val_losses = [trainer.validation_loss()]
+        if verbose:
+            print("val_loss before retraining:", self.val_losses[0])
+        for step in range(1, iteration + 1):
+            rng_np = np.random.RandomState(step)
+            for _ in range(steps_per_epoch):
+                x, y = trainer._train_batch(rng_np)
+                trainer.params, trainer.bn_state, trainer.opt_state, _ = \
+                    trainer._step(trainer.params, trainer.bn_state,
+                                  trainer.opt_state, x,
+                                  y.astype(jnp.float32))
+            loss = trainer.validation_loss()
+            if loss < min(self.val_losses):
+                if verbose:
+                    print(f"val_loss updated from {min(self.val_losses):.4f}"
+                          f" to {loss:.4f}")
+                save_pytree((trainer.params, trainer.bn_state),
+                            os.path.join(self.paths.unet_weights,
+                                         f"{weights_name}step{step}.npz"))
+            self.val_losses.append(loss)
+        self._retrainer = trainer
+        return self.val_losses
+
+    def select_unet_weights(self, step: int,
+                            weights_name: str = "unet_weights_retrain_"):
+        """Restore retrained (step >= 1) or initial (step == 0) weights
+        (tracker.py:1021-1044)."""
+        if step == 0:
+            path = os.path.join(self.paths.unet_weights,
+                                "weights_initial.npz")
+        elif step > 0:
+            path = os.path.join(self.paths.unet_weights,
+                                f"{weights_name}step{step}.npz")
+        else:
+            raise ValueError("step should be an integer >= 0")
+        self.unet_params, self.unet_bn_state = load_pytree(
+            (self.unet_params, self.unet_bn_state), path)
+        if step > 0:
+            save_pytree((self.unet_params, self.unet_bn_state),
+                        os.path.join(self.paths.unet_weights,
+                                     "unet3_retrained.npz"))
+        self._build_segmenter()
+
     # ---- manual seg + interpolation (tracker.py:908-921, 1046-1112) ----------
     def load_manual_seg(self):
         seg = load_image(self.paths.manual_segmentation_vol1)

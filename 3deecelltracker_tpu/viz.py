@@ -178,6 +178,79 @@ def draw_signals(signals, ylim_upper=None, ylim_lower=None,
     return fig, axes
 
 
+def plot_transformation_arrows(ax, ref_ptrs, tgt_ptrs, predicted_ref_ptrs,
+                               layercoord=False):
+    """FFN + PR-GLS arrow plot for one iteration (track.py:412-471 /
+    tracker.py:265-279): segmented targets as dots, arrows from the
+    pre-transform reference positions to the predicted ones."""
+    ax.scatter(tgt_ptrs[:, 1], -tgt_ptrs[:, 0], c="C0", s=12,
+               label="segmented (target)")
+    for src, dst in zip(ref_ptrs, predicted_ref_ptrs):
+        ax.annotate("", xy=(dst[1], -dst[0]), xytext=(src[1], -src[0]),
+                    arrowprops=dict(arrowstyle="->", color="C1", lw=0.8))
+    ax.set_aspect("equal")
+    return ax
+
+
+def draw_matching_6panel(raw_img3d, tracked_labels, r_coor_predicted,
+                         r_coor_segmented, r_tracked_prev, z_xy_ratio=1.0,
+                         path: Optional[str] = None):
+    """Per-volume 6-panel tracking figure (tracker.py:342-358, saved per
+    volume as anim/track_anim_t%06i.png): raw x-y / x-z projections,
+    tracked labels, and prediction arrow plots."""
+    fig, axs = plt.subplots(3, 2, figsize=(14, 14))
+    raw = np.asarray(raw_img3d)
+    lab = np.asarray(tracked_labels)
+    axs[0, 0].imshow(raw.max(axis=2), cmap="gray")
+    axs[0, 0].set_title("raw (x-y projection)")
+    axs[0, 1].imshow(np.repeat(raw.max(axis=0).T, max(1, int(z_xy_ratio)),
+                               axis=0), cmap="gray")
+    axs[0, 1].set_title("raw (x-z projection)")
+    axs[1, 0].imshow(lab.max(axis=2) % len(lbl_cmap.colors), cmap=lbl_cmap,
+                     interpolation="none")
+    axs[1, 0].set_title("tracked labels (x-y)")
+    axs[1, 1].imshow(np.repeat((lab.max(axis=0) > 0).T.astype(float),
+                               max(1, int(z_xy_ratio)), axis=0),
+                     cmap="gray")
+    axs[1, 1].set_title("tracked labels (x-z)")
+    plot_transformation_arrows(axs[2, 0], np.asarray(r_tracked_prev),
+                               np.asarray(r_coor_segmented),
+                               np.asarray(r_coor_predicted))
+    axs[2, 0].set_title("FFN + PR-GLS prediction")
+    axs[2, 1].scatter(np.asarray(r_coor_segmented)[:, 1],
+                      -np.asarray(r_coor_segmented)[:, 0], c="C0", s=10,
+                      label="segmented")
+    axs[2, 1].scatter(np.asarray(r_coor_predicted)[:, 1],
+                      -np.asarray(r_coor_predicted)[:, 0], c="C1", s=10,
+                      marker="x", label="tracked")
+    axs[2, 1].legend()
+    axs[2, 1].set_title("segmented vs tracked")
+    plt.tight_layout()
+    if path:
+        fig.savefig(path, bbox_inches="tight", facecolor="white")
+        plt.close(fig)
+    return fig
+
+
+def replay_track_animation(anim_dir, volume_range, pattern
+                           ="track_anim_t%06i.png"):
+    """Assemble saved per-volume figures into an animation
+    (tracker.py:1433-1460).  Returns a matplotlib ArtistAnimation."""
+    from matplotlib import animation
+    import matplotlib.image as mgimg
+    from pathlib import Path as _P
+    fig, ax = plt.subplots(figsize=(10, 10), tight_layout=True)
+    ax.axis("off")
+    frames = []
+    for volume in volume_range:
+        p = _P(anim_dir) / (pattern % volume)
+        if not p.exists():
+            continue
+        frames.append([ax.imshow(mgimg.imread(str(p)))])
+    return animation.ArtistAnimation(fig, frames, interval=200,
+                                     repeat=False)
+
+
 def draw_segmentation_max_projection(image3d, labels3d, path: Optional[str]
                                      = None):
     """Seg result overlay (tracker.py:212-252 style)."""
