@@ -134,7 +134,12 @@ def prgls_with_two_ref(init_match: jax.Array,
         sum_post = jnp.sum(post)
         gamma = jnp.maximum(1.0 - sum_post / m_valid, 1e-4)
         d2 = pairwise_sq_dists(pred_ref, ptrs_tgt).T      # (m, n)
-        sigma_sq = jnp.sum(_masked(d2, valid_pair) * post) / (3.0 * sum_post)
+        # guards beyond the reference: if the posterior mass underflows to
+        # zero (degenerate input, sigma collapse), 0/0 would poison the
+        # loop with NaNs — clamp instead
+        sigma_sq = jnp.sum(_masked(d2, valid_pair) * post) / \
+            (3.0 * jnp.maximum(sum_post, 1e-20))
+        sigma_sq = jnp.maximum(sigma_sq, 1e-12)
         move_norm = jnp.sqrt(jnp.sum(jnp.square(
             _masked(move_ref, ref_mask[:, None]))))
         # stagnation tracking (f32 noise floor, see docstring)
