@@ -119,8 +119,10 @@ def _flood_kernel(max_iters: int, elev_ref, markers_ref, mask_ref, out_ref):
     cost0 = jnp.where(is_marker, elev, _INF)
     hops0 = jnp.where(is_marker, 0.0, _INF)
 
-    # blocks are (1, x, y); the 4-neighborhood lives on axes 1 and 2
-    shifts = [(1, 1), (1, -1), (2, 1), (2, -1)]
+    # blocks are (1, x, y); the 4-neighborhood lives on axes 1 and 2.
+    # order matches ops.neighborhood.neighbor_offsets(2, 1) so cost/hops
+    # ties resolve to the same winner as the XLA flood
+    shifts = [(1, -1), (2, -1), (2, 1), (1, 1)]
 
     def body(carry):
         lab, cost, hops, _, it = carry
