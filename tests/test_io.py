@@ -1,0 +1,104 @@
+"""Host IO contracts: HDF5 (T, C, Z, Y, X) datasets, TIFF t-range
+discovery, percentile normalization, results-tree round trips, prefetcher
+ordering and error propagation."""
+
+import numpy as np
+import pytest
+
+from t3dct.io.imageio import (load_2d_slices_at_time, get_t_range,
+                              percentile_normalize, load_image,
+                              save_label_slices)
+from t3dct.io.artifacts import ResultsTree
+from t3dct.io.prefetch import VolumePrefetcher
+
+
+@pytest.fixture
+def h5file(tmp_path):
+    import h5py
+    path = tmp_path / "rec.h5"
+    rng = np.random.RandomState(0)
+    data = (rng.rand(4, 2, 5, 16, 18) * 1000).astype(np.uint16)  # T C Z Y X
+    with h5py.File(path, "w") as f:
+        f.create_dataset("default", data=data)
+    return path, data
+
+
+def test_h5_loading(h5file):
+    path, data = h5file
+    spec = {"h5_file": str(path), "channel": 1}
+    x = load_2d_slices_at_time(spec, t=3, do_normalize=False)
+    np.testing.assert_array_equal(x, data[2, 1])
+    assert get_t_range(spec) == (4, 1)
+    xn = load_2d_slices_at_time(spec, t=1, do_normalize=True)
+    assert xn.dtype == np.float32 and xn.max() <= 1.5
+
+
+def test_h5_rejects_wrong_extension(tmp_path):
+    with pytest.raises(AssertionError):
+        load_2d_slices_at_time({"h5_file": str(tmp_path / "x.txt"),
+                                "channel": 0}, t=1)
+
+
+def test_percentile_normalize_matches_csbdeep_formula():
+    rng = np.random.RandomState(1)
+    x = rng.rand(10, 12, 3) * 5000
+    got = percentile_normalize(x)
+    mi, ma = np.percentile(x, 1), np.percentile(x, 99.8)
+    np.testing.assert_allclose(got, (x - mi) / (ma - mi + 1e-20), rtol=1e-5)
+
+
+def test_tiff_t_range_and_missing(tmp_path):
+    vol = (np.random.RandomState(2).rand(8, 10, 3) * 255).astype(np.uint8)
+    for t in (2, 3, 5):
+        save_label_slices(vol, tmp_path, "img_t%03i_z%04i.tif", t,
+                          use_8_bit=True, compression=None)
+    pattern = str(tmp_path / "img_t%03i_z*.tif")
+    assert get_t_range(pattern) == (5, 2)
+    with pytest.raises(FileNotFoundError):
+        load_2d_slices_at_time(pattern, t=4)
+    x = load_2d_slices_at_time(pattern, t=3, do_normalize=False)
+    assert x.shape == (3, 8, 10)   # (z, h, w)
+
+
+def test_load_image_directory(tmp_path):
+    vol = (np.random.RandomState(3).rand(6, 9, 4) * 255).astype(np.uint8)
+    save_label_slices(vol, tmp_path / "d", "s_%01i_z%04i.tif", 0,
+                      use_8_bit=True, compression=None)
+    got = load_image(str(tmp_path / "d"))
+    np.testing.assert_array_equal(got, vol)
+
+
+def test_results_tree_roundtrip(tmp_path):
+    tree = ResultsTree(tmp_path)
+    tree.make_dirs()
+    coords = np.random.RandomState(4).rand(7, 3)
+    tree.save_seg_coords(2, coords)
+    np.testing.assert_array_equal(tree.load_seg_coords(2), coords)
+    prob = np.random.RandomState(5).rand(4, 5, 3).astype(np.float32)
+    tree.save_seg_prob(2, prob)
+    np.testing.assert_array_equal(tree.load_seg_prob(2), prob)
+    tree.save_coords_real(2, coords * 2)
+    np.testing.assert_array_equal(tree.load_coords_real(2), coords * 2)
+    path = tree.export_coordinates_csv({1: coords, 2: coords * 2})
+    lines = path.read_text().strip().split("\n")
+    assert lines[0] == "t,cell,x,y,z"
+    assert len(lines) == 1 + 2 * 7
+    acts = np.random.RandomState(6).rand(3, 7)
+    apath = tree.export_activities_csv(acts)
+    assert len(apath.read_text().strip().split("\n")) == 4
+
+
+def test_prefetcher_order_and_error():
+    def load(t):
+        if t == 4:
+            raise FileNotFoundError("t=4 missing")
+        return t * 10
+
+    got = list(VolumePrefetcher(load, [1, 2, 3], depth=2))
+    assert got == [(1, 10), (2, 20), (3, 30)]
+
+    pf = VolumePrefetcher(load, [3, 4, 5], depth=1)
+    it = iter(pf)
+    assert next(it) == (3, 30)
+    with pytest.raises(FileNotFoundError):
+        list(it)
