@@ -58,6 +58,9 @@ class StarDist3D:
         self.render_box = tuple(int(b) for b in render_box)
         self._thresholds = dict(prob=config.prob_thresh,
                                 nms=config.nms_thresh)
+        # jit once: re-wrapping per call would retrace + recompile the
+        # backbone for every volume
+        self._fwd = jax.jit(self.net.apply)
 
     # ---- persistence -----------------------------------------------------
     def save(self, model_dir: Union[str, Path]) -> None:
@@ -102,7 +105,7 @@ class StarDist3D:
         if prob_thresh is None:
             prob_thresh = self._thresholds["prob"]
         padded, orig_shape = self._pad_input(np.asarray(x, np.float32))
-        prob_g, dist_g = jax.jit(self.net.apply)(
+        prob_g, dist_g = self._fwd(
             self.params, jnp.asarray(padded)[None, ..., None])
         prob_g = prob_g[0, ..., 0]
         dist_g = dist_g[0]
@@ -119,12 +122,13 @@ class StarDist3D:
                     & (points[:, 2] < orig_shape[2]))
         return probs, dists, points, valid & in_range, prob_map
 
-    def predict_instances(self, x: np.ndarray,
-                          prob_thresh: Optional[float] = None,
-                          nms_thresh: Optional[float] = None,
-                          return_labels: bool = True):
-        """((labels, details), prob_map) — reference
-        ``StarDist3DCustom.predict_instances`` (stardist3dcustom.py:152)."""
+    def _predict_instances_device(self, x: np.ndarray,
+                                  prob_thresh: Optional[float] = None,
+                                  nms_thresh: Optional[float] = None,
+                                  return_labels: bool = True):
+        """Dispatch the full instance pipeline; returns device arrays only
+        (no host sync) so callers can overlap transfer with the next
+        volume's compute."""
         if nms_thresh is None:
             nms_thresh = self._thresholds["nms"]
         probs, dists, points, valid, prob_map = self.predict_sparse(
@@ -132,21 +136,35 @@ class StarDist3D:
         centers = points.astype(jnp.float32)
         overlaps = overlap_matrix(centers, dists, self.rays, valid)
         kept = greedy_nms(probs, overlaps, valid, nms_thresh)
-        kept_np = np.asarray(kept)
-        order = np.argsort(-np.asarray(jnp.where(kept, probs, -jnp.inf)))
+        labels_dev = None
+        if return_labels:
+            labels_dev = render_polyhedra_labels(
+                centers, dists, self.rays, probs, kept,
+                tuple(int(s) for s in x.shape), self.render_box)
+        return kept, probs, dists, points, prob_map, labels_dev
+
+    def _finalize_instances(self, device_tuple):
+        """ONE device->host transfer + host-side selection."""
+        fetched = jax.device_get(device_tuple)
+        kept_np, probs_np, dists_np, points_np, prob_map_np, labels = fetched
+        order = np.argsort(-np.where(kept_np, probs_np, -np.inf))
         sel = order[: int(kept_np.sum())]
         details: Dict[str, np.ndarray] = {
-            "points": np.asarray(points)[sel],
-            "prob": np.asarray(probs)[sel],
-            "dist": np.asarray(dists)[sel],
+            "points": points_np[sel],
+            "prob": probs_np[sel],
+            "dist": dists_np[sel],
             "rays_vertices": np.asarray(self.rays),
         }
-        labels = None
-        if return_labels:
-            labels = np.asarray(render_polyhedra_labels(
-                centers, dists, self.rays, probs, kept,
-                tuple(int(s) for s in x.shape), self.render_box))
-        return (labels, details), np.asarray(prob_map)
+        return (labels, details), prob_map_np
+
+    def predict_instances(self, x: np.ndarray,
+                          prob_thresh: Optional[float] = None,
+                          nms_thresh: Optional[float] = None,
+                          return_labels: bool = True):
+        """((labels, details), prob_map) — reference
+        ``StarDist3DCustom.predict_instances`` (stardist3dcustom.py:152)."""
+        return self._finalize_instances(self._predict_instances_device(
+            x, prob_thresh, nms_thresh, return_labels))
 
 
 def load_stardist_model(model_name: str = "stardist",
@@ -163,7 +181,15 @@ def predict_and_save(images_path, model: StarDist3D,
                      prefetch_depth: int = 2) -> None:
     """Segment every volume and persist seg/ artifacts
     (``stardistwrapper.predict_and_save`` :75-111): coords saved (y, x, z)
-    -> the pipeline's (x, y, z) frame, prob_map transposed to (x, y, z)."""
+    -> the pipeline's (x, y, z) frame, prob_map transposed to (x, y, z).
+
+    Pipelined: input volumes prefetch on one thread, device compute for
+    volume t+1 dispatches while volume t's results transfer and write on a
+    saver thread — the device never waits on codecs or (remote-link)
+    round-trip latency."""
+    import queue
+    import threading
+
     tree = ResultsTree(results_folder)
     tree.make_dirs()
     t_max, t_min = get_t_range(images_path)
@@ -171,20 +197,45 @@ def predict_and_save(images_path, model: StarDist3D,
     loader = VolumePrefetcher(
         lambda t: load_2d_slices_at_time(images_path, t=t),
         range(t_min, t_max + 1), depth=prefetch_depth)
+
+    save_q: "queue.Queue" = queue.Queue(maxsize=prefetch_depth)
+    errors = []
+
+    def saver():
+        while True:
+            item = save_q.get()
+            if item is None:
+                return
+            t, device_tuple = item
+            try:
+                (labels, details), prob_map = \
+                    model._finalize_instances(device_tuple)
+                tree.save_seg_coords(t, details["points"][:, [1, 2, 0]])
+                tree.save_seg_prob(t, prob_map.transpose((1, 2, 0)))
+                if t == t_min:
+                    save_volume_slices(labels.transpose((1, 2, 0)),
+                                       Path(results_folder) / "auto_vol1",
+                                       "auto_vol1_z%04i.tif")
+            except Exception as e:   # surface on the main thread
+                errors.append(e)
+
+    saver_thread = threading.Thread(target=saver, daemon=True)
+    saver_thread.start()
     done_t = t_min - 1
     try:
         for t, x in loader:
-            (labels, details), prob_map = model.predict_instances(x)
-            tree.save_seg_coords(t, details["points"][:, [1, 2, 0]])
-            tree.save_seg_prob(t, prob_map.transpose((1, 2, 0)))
-            if t == t_min:
-                save_volume_slices(labels.transpose((1, 2, 0)),
-                                   Path(results_folder) / "auto_vol1",
-                                   "auto_vol1_z%04i.tif")
+            save_q.put((t, model._predict_instances_device(x)))
             done_t = t
+            if errors:
+                raise errors[0]
     except FileNotFoundError:
         print(f"Warning: segmentation stopped; images at t={done_t + 1} "
               "cannot be loaded!")
+    finally:
+        save_q.put(None)
+        saver_thread.join()
+    if errors:
+        raise errors[0]
     print(f"All images from t={t_min} to t={done_t} have been segmented")
 
 

@@ -39,27 +39,51 @@ def _membership_fraction(points: jax.Array, centers: jax.Array,
     points: (k, s, 3) interior samples of each candidate j.
     centers: (k, 3); dists: (k, n_rays).
     Returns (k, k): frac[i, j] = fraction of j's samples inside i.
+
+    The (i, j, s, n_rays) similarity tensor is processed in i-chunks so
+    peak memory stays bounded for large candidate budgets.
     """
     k, s, _ = points.shape
-    # offsets of j's samples from i's centers: (i, j, s, 3)
-    off = points[None, :, :, :] - centers[:, None, None, :]
-    dist_p = jnp.linalg.norm(off, axis=-1)                      # (i, j, s)
-    dirs = off / jnp.maximum(dist_p[..., None], 1e-12)
-    # nearest ray per direction: (i, j, s)
-    sim = jnp.einsum("ijsc,rc->ijsr", dirs, rays)
-    nearest = jnp.argmax(sim, axis=-1)
-    radius = jnp.take_along_axis(
-        jnp.broadcast_to(dists[:, None, None, :], sim.shape),
-        nearest[..., None], axis=-1)[..., 0]
-    inside = dist_p <= radius
-    return jnp.mean(inside.astype(jnp.float32), axis=-1)       # (i, j)
+    n_rays = rays.shape[0]
+    # keep each chunk's (c, k, s, r) tensor under ~2^26 elements
+    chunk = max(1, min(k, (1 << 26) // max(1, k * s * n_rays)))
+    n_chunks = -(-k // chunk)
+    pad = n_chunks * chunk - k
+    centers_p = jnp.pad(centers, ((0, pad), (0, 0)),
+                        constant_values=1e9)
+    dists_p = jnp.pad(dists, ((0, pad), (0, 0)))
+
+    def one(args):
+        c_chunk, d_chunk = args                    # (c, 3), (c, n_rays)
+        off = points[None, :, :, :] - c_chunk[:, None, None, :]
+        dist_p = jnp.linalg.norm(off, axis=-1)     # (c, j, s)
+        dirs = off / jnp.maximum(dist_p[..., None], 1e-12)
+        sim = jnp.einsum("ijsc,rc->ijsr", dirs, rays)
+        nearest = jnp.argmax(sim, axis=-1)         # (c, j, s)
+        radius = jnp.take_along_axis(
+            jnp.broadcast_to(d_chunk[:, None, None, :], sim.shape),
+            nearest[..., None], axis=-1)[..., 0]
+        inside = dist_p <= radius
+        return jnp.mean(inside.astype(jnp.float32), axis=-1)   # (c, j)
+
+    frac = jax.lax.map(one, (centers_p.reshape(n_chunks, chunk, 3),
+                             dists_p.reshape(n_chunks, chunk, n_rays)))
+    return frac.reshape(-1, k)[:k]
 
 
-@functools.partial(jax.jit, static_argnames=("n_samples", "n_fracs"))
+@functools.partial(jax.jit, static_argnames=("n_samples", "n_fracs",
+                                             "neighbor_limit"))
 def overlap_matrix(centers: jax.Array, dists: jax.Array, rays: jax.Array,
                    valid: jax.Array, n_samples: int = 32,
-                   n_fracs: int = 4) -> jax.Array:
-    """(k, k) overlap[i, j] ≈ |P_i ∩ P_j| / |P_j| via quasi-MC sampling."""
+                   n_fracs: int = 4,
+                   neighbor_limit: int = 32) -> jax.Array:
+    """(k, k) overlap[i, j] ≈ |P_i ∩ P_j| / |P_j| via quasi-MC sampling.
+
+    ``neighbor_limit`` > 0 restricts the membership tests to each
+    candidate's M nearest candidates (overlap needs proximity; everything
+    farther is exactly 0) — k·M instead of k² tests.  0 = dense.
+    """
+    k = centers.shape[0]
     dirs = jnp.asarray(sample_directions_fibonacci(n_samples))  # (s, 3)
     # cube-root-uniform radius fractions for uniform-in-volume samples
     fr = ((np.arange(n_fracs) + 0.5) / n_fracs) ** (1.0 / 3.0)
@@ -69,7 +93,28 @@ def overlap_matrix(centers: jax.Array, dists: jax.Array, rays: jax.Array,
                                                             None]) * \
         dirs[None, :, None, :]
     pts = pts.reshape(dists.shape[0], -1, 3)                    # (k, s*f, 3)
-    frac = _membership_fraction(pts, centers, dists, rays)
+
+    if neighbor_limit and neighbor_limit < k:
+        m = neighbor_limit
+        d2 = jnp.sum((centers[:, None, :] - centers[None, :, :]) ** 2, -1)
+        d2 = jnp.where(valid[None, :], d2, jnp.inf)
+        _, nbr = jax.lax.top_k(-d2, m)                   # (j, m) candidates i
+        cen_n = centers[nbr]                              # (j, m, 3)
+        dst_n = dists[nbr]                                # (j, m, n_rays)
+        off = pts[:, None, :, :] - cen_n[:, :, None, :]   # (j, m, s, 3)
+        dist_p = jnp.linalg.norm(off, axis=-1)
+        drs = off / jnp.maximum(dist_p[..., None], 1e-12)
+        sim = jnp.einsum("jmsc,rc->jmsr", drs, rays)
+        nearest = jnp.argmax(sim, axis=-1)
+        radius = jnp.take_along_axis(
+            jnp.broadcast_to(dst_n[:, :, None, :], sim.shape),
+            nearest[..., None], axis=-1)[..., 0]
+        frac_jm = jnp.mean((dist_p <= radius).astype(jnp.float32), axis=-1)
+        jj = jnp.broadcast_to(jnp.arange(k)[:, None], (k, m))
+        frac = jnp.zeros((k, k), jnp.float32).at[
+            nbr.reshape(-1), jj.reshape(-1)].set(frac_jm.reshape(-1))
+    else:
+        frac = _membership_fraction(pts, centers, dists, rays)
     frac = jnp.where(valid[:, None] & valid[None, :], frac, 0.0)
     return frac
 
