@@ -4,8 +4,10 @@ real TPU hardware.
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 
 North-star metric (BASELINE.json): 3-D volumes/sec for the full per-volume
-pipeline at worm1 demo scale (SURVEY §6): StarDist3D inference + sparse
-candidate gather on a (168, 401, 128)-class volume, FFN + PR-GLS tracking of
+pipeline at worm1 demo scale (SURVEY §6): complete StarDist3D instance
+segmentation (backbone, sparse gather, polyhedron NMS, label rendering) on a
+(168, 401) x 24-slice raw volume (z_xy_ratio 9.2 — the (168,401,128)-class
+extent in BASELINE.md counts interpolated slices), FFN + PR-GLS tracking of
 ~150 cells, and the accurate-correction loop.  The reference publishes no
 absolute numbers; vs_baseline uses the driver-set estimate of the
 RTX-3080Ti TF pipeline at ~0.2 vol/s end-to-end (GPU inference + host NumPy
@@ -44,28 +46,24 @@ def _timeit(fn, n_iters=5):
 
 
 def bench_stardist_seg():
+    """Full instance segmentation: backbone + sparse gather + polyhedron
+    NMS + label rendering (the complete per-volume device pipeline)."""
     from t3dct.config import StarDistConfig
-    from t3dct.models.stardist3d import StarDist3DNet, sparse_candidates
+    from t3dct.engine.stardist import StarDist3D
 
     cfg = StarDistConfig(n_rays=96, grid=(1, 2, 2),
                          anisotropy=(9.2, 1.0, 1.0))
-    net = StarDist3DNet(cfg)
-    params = net.init(jax.random.PRNGKey(0))
-    # volume in model (z, y, x) layout, padded to div_by
-    z, y, x = VOL_XYZ[2], VOL_XYZ[1], VOL_XYZ[0]
-    div = net.div_by
-    shape = tuple(-(-s // d) * d for s, d in zip((z, y, x), div))
-    vol = jax.random.uniform(jax.random.PRNGKey(1), shape, jnp.float32)
+    model = StarDist3D(cfg, max_candidates=256, render_box=(9, 49, 49))
+    # model frame is (z, y, x); worm z-slices ~ VOL_XYZ[2]/grid physical
+    z, y, x = 24, VOL_XYZ[1], VOL_XYZ[0]
+    vol = np.asarray(jax.random.uniform(jax.random.PRNGKey(1), (z, y, x),
+                                        jnp.float32))
 
-    @jax.jit
-    def seg(params, vol):
-        prob, dist = net.apply(params, vol[None, ..., None],
-                               compute_dtype=jnp.bfloat16)
-        probs, dists, points, valid = sparse_candidates(
-            prob[0, ..., 0], dist[0], cfg.grid, 0.5, max_candidates=512)
-        return probs
+    def run():
+        out = model._predict_instances_device(vol)
+        return out[5]  # labels
 
-    return _timeit(lambda: seg(params, vol))
+    return _timeit(run)
 
 
 def bench_track_step():
