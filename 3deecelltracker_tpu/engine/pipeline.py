@@ -57,42 +57,99 @@ def track_timelapse(results_dir: Union[str, Path],
                           transformer.coord_vol1,
                           miss_frame=miss_frame)
 
+    # Device-resident recurrence with an async artifact writer: the loop
+    # dispatches predict + correction for t+1 while the saver thread
+    # fetches volume t's labels/coords and writes TIFF/npy/figures — the
+    # TPU never waits on codecs or device->host latency.
+    import queue
+    import threading
+
+    import jax
+
+    save_q: "queue.Queue" = queue.Queue(maxsize=2)
+    errors: List[Exception] = []
+
+    def saver():
+        while True:
+            item = save_q.get()
+            if item is None:
+                return
+            t2, corrected, labels_dev, coords_t1_real_dev = item
+            try:
+                labels_np = np.asarray(jax.device_get(labels_dev))
+                transformer.save_tracking_results(corrected, labels_np, t2,
+                                                  images_path=images_path)
+                if save_figures:
+                    from ..viz import save_matching_figure
+                    seg_t2 = tracker._get_segmented_pos(t2)
+                    save_matching_figure(
+                        transformer.tree,
+                        np.asarray(jax.device_get(coords_t1_real_dev)),
+                        np.asarray(seg_t2.real),
+                        np.asarray(corrected.real), t2 - 1, t2)
+            except Exception as e:
+                errors.append(e)
+
+    saver_thread = threading.Thread(target=saver, daemon=True)
+    saver_thread.start()
+
     coords_by_t: Dict[int, np.ndarray] = {
         t_min: np.asarray(transformer.coord_vol1.real)}
     coords_t1 = transformer.coord_vol1
-    for t2 in range(t_min + 1, t_max + 1):
-        if t2 in tracker.miss_frame:
-            coords_by_t[t2] = coords_by_t[t2 - 1]
-            continue
-        if config.ensemble:
-            pred = tracker.predict_cell_positions_ensemble(
-                tracker.miss_frame, t2, coords_t1,
-                beta=config.beta, lambda_=config.lambda_,
-                sampling_number=config.sampling_number,
-                adjacent=config.adjacent, t_start=t_min)
-        else:
-            pred = tracker.predict_cell_positions(
-                t2 - 1, t2, confirmed_coord_t1=coords_t1,
-                beta=config.beta, lambda_=config.lambda_)
-        corrected, labels_img = transformer.accurate_correction(
-            t2, grid, pred, ensemble=bool(config.ensemble),
-            max_repetition=config.max_correction_reps)
-        transformer.save_tracking_results(corrected, labels_img, t2,
-                                          images_path=images_path)
-        if save_figures:
-            try:
-                from ..viz import save_matching_figure
-                seg_t2 = tracker._get_segmented_pos(t2)
-                save_matching_figure(
-                    transformer.tree, np.asarray(coords_t1.real),
-                    np.asarray(seg_t2.real), np.asarray(corrected.real),
-                    t2 - 1, t2)
-            except Exception as e:
-                print(f"figure skipped: {e}")
-        coords_by_t[t2] = np.asarray(corrected.real)
-        coords_t1 = corrected
-        if verbose:
-            print(f"tracked t={t2}/{t_max}", end="\r")
+    corrected_by_t: Dict[int, Coordinates] = {}
+    try:
+        for t2 in range(t_min + 1, t_max + 1):
+            if t2 in tracker.miss_frame:
+                corrected_by_t[t2] = coords_t1
+                continue
+            if config.ensemble:
+                # device fan-out over reference volumes with in-memory
+                # confirmed coordinates (the disk-reading reference variant
+                # would race with the async writer)
+                import jax.numpy as jnp
+                from ..parallel.ensemble import ensemble_track_step
+                t1s = get_volumes_list(t2, tracker.miss_frame,
+                                       config.sampling_number,
+                                       config.adjacent, t_min)
+                confirmed_stack = jnp.stack([
+                    (transformer.coord_vol1 if t1 == t_min
+                     else corrected_by_t[t1]).real for t1 in t1s])
+                seg1s, mask1s = zip(*[
+                    tracker._pad(np.asarray(
+                        tracker._get_segmented_pos(t1).real))
+                    for t1 in t1s])
+                seg2, mask2 = tracker._pad(np.asarray(
+                    tracker._get_segmented_pos(t2).real))
+                combined = ensemble_track_step(
+                    tracker.ffn_params, tracker.ffn_state,
+                    confirmed_stack, jnp.stack(seg1s), jnp.stack(mask1s),
+                    seg2, mask2, beta=config.beta, lambda_=config.lambda_,
+                    trim_proportion=config.trim_proportion)
+                pred = Coordinates.from_real(
+                    combined, transformer.interpolation_factor,
+                    transformer.voxel_size)
+            else:
+                pred = tracker.predict_cell_positions(
+                    t2 - 1, t2, confirmed_coord_t1=coords_t1,
+                    beta=config.beta, lambda_=config.lambda_)
+            corrected, labels_dev = transformer.accurate_correction(
+                t2, grid, pred, ensemble=bool(config.ensemble),
+                max_repetition=config.max_correction_reps,
+                return_device=True)
+            save_q.put((t2, corrected, labels_dev, coords_t1.real))
+            corrected_by_t[t2] = corrected
+            coords_t1 = corrected
+            if errors:
+                raise errors[0]
+            if verbose:
+                print(f"tracked t={t2}/{t_max}", end="\r")
+    finally:
+        save_q.put(None)
+        saver_thread.join()
+    if errors:
+        raise errors[0]
+    for t2, c in corrected_by_t.items():
+        coords_by_t[t2] = np.asarray(c.real)
     if verbose:
         print()
     return coords_by_t

@@ -179,10 +179,13 @@ class CoordsToImageTransformer:
                             coords: Coordinates, ensemble: bool,
                             max_repetition: int = 20,
                             format: str = "prob%06d.npy",
-                            prob_map: Optional[np.ndarray] = None):
+                            prob_map: Optional[np.ndarray] = None,
+                            return_device: bool = False):
         """Probability-weighted center refinement (reference :406-447).
 
-        Returns (corrected Coordinates, corrected labels image)."""
+        Returns (corrected Coordinates, corrected labels image).  With
+        ``return_device=True`` the labels stay a device array (no host
+        sync) so the tracking recurrence never blocks on transfers."""
         if prob_map is None:
             prob_map = self.load_prob_map(t, grid, format)
         boundary = get_cells_on_boundary(
@@ -194,8 +197,10 @@ class CoordsToImageTransformer:
             max_repetition=max_repetition)
         corrected = Coordinates(corrected_raw, self.interpolation_factor,
                                 tuple(self.voxel_size))
-        corrected_labels = np.asarray(recalculate_cell_boundaries(
-            labels, overlap, sampling_xy=self.voxel_size[:2]))
+        corrected_labels = recalculate_cell_boundaries(
+            labels, overlap, sampling_xy=self.voxel_size[:2])
+        if not return_device:
+            corrected_labels = np.asarray(corrected_labels)
         return corrected, corrected_labels
 
     # ---- persistence (coord_image_transformer.py:491-558) ------------------

@@ -113,3 +113,16 @@ def test_v1_stardist_workflow_end_to_end(tmp_path):
             "coords000003.npy").exists()
     assert (results / "track_results" / "labels" /
             "track_results_t000003_z0001.tif").exists()
+
+    # ---- ensemble mode over the same artifacts (device fan-out +
+    # trimmed mean; resets per volume)
+    coords_ens = track_timelapse(
+        results, str(results / "manual_vol1" / "*.tif"),
+        (ffn_tr.params, ffn_tr.bn_state),
+        voxel_size=(1, 1, Z_RATIO), interpolation_factor=2,
+        t_range=(1, N_VOLS), grid=cfg.grid,
+        config=TrackingConfig(beta=10.0, lambda_=3.0, ensemble=True,
+                              sampling_number=3),
+        verbose=False)
+    err_e = np.linalg.norm(coords_ens[3] - true3, axis=1)
+    assert np.median(err_e) < 5.0, f"ensemble tracking error: {err_e}"
