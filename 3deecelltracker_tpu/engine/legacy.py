@@ -426,9 +426,21 @@ class Tracker:
             REP_NUM_PRGLS,
             self.history.r_segmented_coordinates[source_volume - 1])
         pred = self.history.r_tracked_coordinates[source_volume - 1].copy()
+        frames = []
         for C, beta, inter in zip(C_t, BETA_t, inter_list):
+            pre = pred
             pred = self._predict_one_rep(pred, inter, beta, C)
-        return pred, None
+            if draw:
+                frames.append((pre, pred))
+        anim = None
+        if draw:
+            try:
+                from ..viz import ffn_prgls_animation
+                anim = ffn_prgls_animation(
+                    frames, self.segresult.r_coordinates_segment)
+            except Exception as e:
+                print(f"animation skipped: {e}")
+        return pred, anim
 
     def _get_cells_onBoundary(self, r_coords, ensemble):
         """tracker.py:1291-1308."""

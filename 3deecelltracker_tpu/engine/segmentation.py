@@ -61,7 +61,8 @@ class UNetSegmenter:
 
     # ---- stage 1: LCN + tiled U-Net (tracker.py:662-669) -------------------
     def _predict_impl(self, params, state, image_raw):
-        norm = normalize_image(image_raw, self.config.noise_level)
+        norm = normalize_image(image_raw, self.config.noise_level,
+                               median_stride=61)
         padded = pad_for_tiles(norm, self.plan)
         tiles = extract_tiles(padded, self.plan)
         probs, _ = self.model.apply(params, state, tiles[..., None],

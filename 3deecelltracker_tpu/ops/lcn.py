@@ -46,19 +46,30 @@ def lcn(img3d: jax.Array,
     return (x - avg) / (std + jnp.float32(noise_level))
 
 
-@functools.partial(jax.jit, static_argnames=("filter_size", "padding"))
+@functools.partial(jax.jit, static_argnames=("filter_size", "padding",
+                                             "median_stride"))
 def normalize_image(image: jax.Array,
                     noise_level: float,
                     filter_size: Tuple[int, int, int] = (27, 27, 1),
-                    padding: str = "zero") -> jax.Array:
+                    padding: str = "zero",
+                    median_stride: int = 1) -> jax.Array:
     """Median-subtract, clip at zero, then LCN (``preprocess.py:170-188``).
 
     Matches the reference's ``lcn_gpu(image_norm, ...)`` where the *squared
     difference* input to the second box filter is computed against the
     already median-subtracted image.
+
+    ``median_stride`` > 1 estimates the background median from a strided
+    subsample — the full-volume median is a device sort that costs ~3x the
+    LCN itself; a 1-in-61 subsample of ~10^5 voxels estimates the
+    background level to well under one intensity unit.
     """
     x = image.astype(jnp.float32)
-    x = x - jnp.median(x)
+    if median_stride > 1:
+        med = jnp.median(x.reshape(-1)[::median_stride])
+    else:
+        med = jnp.median(x)
+    x = x - med
     x = jnp.maximum(x, 0.0)
     return lcn(x, noise_level, filter_size, padding)
 

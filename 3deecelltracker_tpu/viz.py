@@ -178,6 +178,55 @@ def draw_signals(signals, ylim_upper=None, ylim_lower=None,
     return fig, axes
 
 
+def draw_segresult(image3d, segmentation3d, percentile_top=99.9,
+                   percentile_bottom=10):
+    """Per-z ArtistAnimation of the segmentation (tracker.py:212-252)."""
+    from matplotlib import animation
+    img = np.asarray(image3d)
+    seg = np.asarray(segmentation3d)
+    vmax = np.percentile(img, percentile_top)
+    vmin = np.percentile(img, percentile_bottom)
+    fig, (a, b) = plt.subplots(1, 2, figsize=(14, 7))
+    a.set_title("raw image")
+    b.set_title("segmentation")
+    frames = []
+    for z in range(img.shape[2]):
+        f1 = a.imshow(img[:, :, z], cmap="gray", vmin=vmin, vmax=vmax,
+                      animated=True)
+        f2 = b.imshow(seg[:, :, z] % len(lbl_cmap.colors), cmap=lbl_cmap,
+                      interpolation="none", animated=True)
+        frames.append([f1, f2])
+    return animation.ArtistAnimation(fig, frames, interval=200)
+
+
+def draw_manual_seg1(manual_segmentation3d):
+    """Max projection of the manually corrected vol-1 labels
+    (tracker.py:254-262)."""
+    fig, ax = plt.subplots(figsize=(10, 10))
+    ax.imshow(np.max(np.asarray(manual_segmentation3d), axis=2)
+              % len(lbl_cmap.colors), cmap=lbl_cmap, interpolation="none")
+    ax.set_title("Manual segmentation at vol 1 (max projection)")
+    return fig
+
+
+def ffn_prgls_animation(rep_frames, seg_coords):
+    """Animation over FFN + PR-GLS repetitions (tracker.py:1205-1215):
+    ``rep_frames`` is a list of (pre, post) coordinate pairs per rep."""
+    from matplotlib import animation
+    fig, ax = plt.subplots(figsize=(10, 10))
+    artists = []
+    for pre, post in rep_frames:
+        objs = []
+        objs.append(ax.scatter(seg_coords[:, 1], -seg_coords[:, 0],
+                               c="C0", s=12, animated=True))
+        for s, d in zip(pre, post):
+            objs.append(ax.annotate(
+                "", xy=(d[1], -d[0]), xytext=(s[1], -s[0]),
+                arrowprops=dict(arrowstyle="->", color="C1", lw=0.8)))
+        artists.append(objs)
+    return animation.ArtistAnimation(fig, artists, interval=200)
+
+
 def plot_transformation_arrows(ax, ref_ptrs, tgt_ptrs, predicted_ref_ptrs,
                                layercoord=False):
     """FFN + PR-GLS arrow plot for one iteration (track.py:412-471 /

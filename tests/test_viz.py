@@ -1,0 +1,62 @@
+"""Smoke tests for the visualization module (Agg backend)."""
+
+import numpy as np
+
+import matplotlib
+matplotlib.use("Agg")
+
+from t3dct import viz
+
+
+def _scene(n=12, seed=0):
+    rng = np.random.RandomState(seed)
+    ref = rng.rand(n, 3) * 50
+    tgt = ref + rng.randn(n, 3)
+    return ref, tgt
+
+
+def test_plot_prgls_prediction():
+    ref, tgt = _scene()
+    fig = viz.plot_prgls_prediction(ref, tgt, tgt, 1, 2)
+    assert fig is not None
+
+
+def test_plot_initial_matching():
+    ref, tgt = _scene(10)
+    pairs = np.stack([np.arange(10), np.arange(10)], 1)
+    fig = viz.plot_initial_matching(ref, tgt, pairs, 1, 2)
+    assert fig is not None
+
+
+def test_6panel_and_segresult(tmp_path):
+    rng = np.random.RandomState(1)
+    raw = rng.rand(30, 40, 4)
+    lab = (rng.rand(30, 40, 4) * 5).astype(np.int32)
+    ref, tgt = _scene(8)
+    fig = viz.draw_matching_6panel(raw, lab, tgt, tgt, ref, 2.0,
+                                   path=str(tmp_path / "p.png"))
+    assert (tmp_path / "p.png").exists()
+    anim = viz.draw_segresult(raw, lab)
+    assert anim is not None
+    fig2 = viz.draw_manual_seg1(lab)
+    assert fig2 is not None
+
+
+def test_signals_grid():
+    rng = np.random.RandomState(2)
+    sig = rng.rand(50, 9)
+    fig, axes = viz.draw_signals(sig)
+    assert fig is not None
+    assert viz.optimize_row_column(200, 100, (40, 20)) == (14, 8)
+
+
+def test_ffn_prgls_animation():
+    ref, tgt = _scene(6)
+    anim = viz.ffn_prgls_animation([(ref, tgt), (tgt, ref)], tgt)
+    assert anim is not None
+
+
+def test_random_label_cmap():
+    cmap = viz.random_label_cmap(256)
+    assert cmap.colors.shape == (256, 3)
+    assert (cmap.colors[0] == 0).all()
