@@ -16,6 +16,8 @@ from .stardist import (StarDist3D, configure, load_stardist_model,
 from .legacy import Tracker, Paths, History, get_reference_vols
 from .pipeline import track_timelapse
 from .analyses import get_activities, get_activities_quick
+from .metrics import (instance_matching, tracking_accuracy,
+                      optimize_thresholds)
 
 __all__ = [
     "accurate_correction_loop", "get_cells_on_boundary",
@@ -27,4 +29,5 @@ __all__ = [
     "Tracker", "Paths", "History", "get_reference_vols",
     "track_timelapse",
     "get_activities", "get_activities_quick",
+    "instance_matching", "tracking_accuracy", "optimize_thresholds",
 ]

@@ -1,0 +1,140 @@
+"""Evaluation metrics: instance matching, tracking accuracy, threshold
+optimization.
+
+The reference relies on external tooling for accuracy numbers (its papers
+report cell-matching accuracy; upstream stardist ships
+``optimize_thresholds``).  This module makes both first-class:
+
+- ``instance_matching``: IoU-based matching of predicted vs ground-truth
+  label volumes (precision / recall / F1 / mean matched IoU), computed with
+  one device pass over the volume (pair-count contingency via bincount).
+- ``tracking_accuracy``: fraction of tracked positions within a radius of
+  their ground-truth trajectory (the BASELINE.json "cell-matching
+  accuracy" readout).
+- ``optimize_thresholds``: grid-search prob/nms thresholds of a StarDist3D
+  model against validation volumes, maximizing F1@IoU (stardist 2_training
+  workflow parity).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Dict, List, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+@functools.partial(jax.jit, static_argnames=("max_gt", "max_pred"))
+def _pair_contingency(gt: jax.Array, pred: jax.Array, max_gt: int,
+                      max_pred: int):
+    """Intersection voxel counts for every (gt, pred) label pair plus per-
+    label sizes, in one pass."""
+    g = jnp.clip(gt.reshape(-1), 0, max_gt)
+    p = jnp.clip(pred.reshape(-1), 0, max_pred)
+    pair = g * (max_pred + 1) + p
+    inter = jnp.bincount(pair, length=(max_gt + 1) * (max_pred + 1))
+    inter = inter.reshape(max_gt + 1, max_pred + 1)
+    gt_sizes = jnp.bincount(g, length=max_gt + 1)
+    pred_sizes = jnp.bincount(p, length=max_pred + 1)
+    return inter, gt_sizes, pred_sizes
+
+
+def instance_matching(gt_labels: np.ndarray, pred_labels: np.ndarray,
+                      iou_thresh: float = 0.5) -> Dict[str, float]:
+    """Greedy IoU matching of instances (stardist ``matching`` semantics:
+    one-to-one pairs above ``iou_thresh``)."""
+    n_gt = int(gt_labels.max())
+    n_pred = int(pred_labels.max())
+    if n_gt == 0 or n_pred == 0:
+        return dict(precision=0.0, recall=0.0, f1=0.0, mean_matched_iou=0.0,
+                    tp=0, fp=n_pred, fn=n_gt)
+    inter, gt_sizes, pred_sizes = _pair_contingency(
+        jnp.asarray(gt_labels), jnp.asarray(pred_labels), n_gt, n_pred)
+    inter = np.asarray(inter)[1:, 1:].astype(np.float64)
+    gs = np.asarray(gt_sizes)[1:].astype(np.float64)
+    ps = np.asarray(pred_sizes)[1:].astype(np.float64)
+    union = gs[:, None] + ps[None, :] - inter
+    iou = np.where(union > 0, inter / np.maximum(union, 1), 0.0)
+
+    # greedy one-to-one matching by descending IoU
+    tp, matched_iou = 0, []
+    used_g = np.zeros(n_gt, bool)
+    used_p = np.zeros(n_pred, bool)
+    order = np.argsort(-iou, axis=None)
+    for flat in order:
+        g_i, p_i = divmod(int(flat), n_pred)
+        if iou[g_i, p_i] < iou_thresh:
+            break
+        if used_g[g_i] or used_p[p_i]:
+            continue
+        used_g[g_i] = used_p[p_i] = True
+        tp += 1
+        matched_iou.append(iou[g_i, p_i])
+    fp = n_pred - tp
+    fn = n_gt - tp
+    precision = tp / max(tp + fp, 1)
+    recall = tp / max(tp + fn, 1)
+    f1 = 2 * tp / max(2 * tp + fp + fn, 1)
+    return dict(precision=precision, recall=recall, f1=f1,
+                mean_matched_iou=float(np.mean(matched_iou))
+                if matched_iou else 0.0,
+                tp=tp, fp=fp, fn=fn)
+
+
+def tracking_accuracy(tracked_by_t: Dict[int, np.ndarray],
+                      truth_by_t: Dict[int, np.ndarray],
+                      radius: float = 3.0,
+                      assign_at: int = None) -> Dict[str, float]:
+    """Fraction of tracked positions within ``radius`` of their true
+    trajectory.  Cell identities are assigned by nearest-neighbor at the
+    first common time point (labels can be permuted by relabeling)."""
+    ts = sorted(set(tracked_by_t) & set(truth_by_t))
+    t0 = assign_at if assign_at is not None else ts[0]
+    d0 = np.linalg.norm(tracked_by_t[t0][:, None, :]
+                        - truth_by_t[t0][None, :, :], axis=2)
+    assign = d0.argmin(axis=1)
+    correct, total = 0, 0
+    per_t = {}
+    for t in ts:
+        err = np.linalg.norm(tracked_by_t[t] - truth_by_t[t][assign],
+                             axis=1)
+        per_t[t] = float((err <= radius).mean())
+        correct += int((err <= radius).sum())
+        total += err.size
+    return dict(accuracy=correct / max(total, 1), per_volume=per_t)
+
+
+def optimize_thresholds(model, X_val: Sequence[np.ndarray],
+                        Y_val: Sequence[np.ndarray],
+                        prob_grid: Sequence[float] = (0.3, 0.4, 0.5, 0.6,
+                                                      0.7),
+                        nms_grid: Sequence[float] = (0.3, 0.4, 0.5),
+                        iou_thresh: float = 0.5,
+                        verbose: bool = True) -> Tuple[float, float]:
+    """Grid-search (prob_thresh, nms_thresh) maximizing mean F1@IoU over
+    validation volumes; stores the best pair on the model (the reference
+    workflow's ``optimize_thresholds`` step).  Y_val are label volumes in
+    the model's (z, y, x) frame."""
+    best = (-1.0, None, None)
+    for prob_t in prob_grid:
+        for nms_t in nms_grid:
+            scores = []
+            for x, y in zip(X_val, Y_val):
+                (labels, _), _ = model.predict_instances(
+                    x, prob_thresh=prob_t, nms_thresh=nms_t)
+                scores.append(instance_matching(y, labels,
+                                                iou_thresh)["f1"])
+            mean_f1 = float(np.mean(scores))
+            if verbose:
+                print(f"prob={prob_t:.2f} nms={nms_t:.2f} "
+                      f"F1@{iou_thresh}={mean_f1:.4f}")
+            if mean_f1 > best[0]:
+                best = (mean_f1, prob_t, nms_t)
+    _, prob_t, nms_t = best
+    model._thresholds = dict(prob=prob_t, nms=nms_t)
+    if verbose:
+        print(f"selected prob_thresh={prob_t}, nms_thresh={nms_t} "
+              f"(F1={best[0]:.4f})")
+    return prob_t, nms_t

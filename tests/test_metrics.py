@@ -1,0 +1,89 @@
+"""Evaluation metrics: IoU instance matching, tracking accuracy,
+threshold optimization."""
+
+import numpy as np
+import pytest
+
+from t3dct.engine.metrics import (instance_matching, tracking_accuracy,
+                                  optimize_thresholds)
+
+
+def _two_blobs(shift=0):
+    lab = np.zeros((20, 20, 4), np.int32)
+    lab[2:8, 2:8, :] = 1
+    lab[10 + shift:16 + shift, 10:16, :] = 2
+    return lab
+
+
+def test_instance_matching_perfect():
+    gt = _two_blobs()
+    m = instance_matching(gt, gt)
+    assert m["f1"] == 1.0 and m["tp"] == 2
+    assert m["mean_matched_iou"] == pytest.approx(1.0)
+
+
+def test_instance_matching_partial():
+    gt = _two_blobs()
+    pred = _two_blobs(shift=3)           # cell 2 shifted -> IoU = 1/3
+    m5 = instance_matching(gt, pred, iou_thresh=0.5)
+    m3 = instance_matching(gt, pred, iou_thresh=0.3)
+    assert m5["tp"] == 1 and m5["fp"] == 1 and m5["fn"] == 1
+    assert m3["tp"] == 2
+
+
+def test_instance_matching_relabeled_invariant():
+    gt = _two_blobs()
+    pred = gt.copy()
+    pred[pred == 1] = 7
+    pred[pred == 2] = 3
+    pred = np.where(pred == 7, 1, np.where(pred == 3, 2, 0))
+    # permuted ids, same partition
+    perm = gt.copy()
+    perm[gt == 1] = 2
+    perm[gt == 2] = 1
+    m = instance_matching(gt, perm)
+    assert m["f1"] == 1.0
+
+
+def test_instance_matching_empty():
+    gt = _two_blobs()
+    empty = np.zeros_like(gt)
+    m = instance_matching(gt, empty)
+    assert m["f1"] == 0.0 and m["fn"] == 2
+
+
+def test_tracking_accuracy():
+    rng = np.random.RandomState(0)
+    truth = {t: rng.rand(10, 3) * 50 for t in (1, 2, 3)}
+    perm = rng.permutation(10)
+    tracked = {t: truth[t][perm] + rng.randn(10, 3) * 0.2
+               for t in (1, 2, 3)}
+    out = tracking_accuracy(tracked, truth, radius=2.0)
+    assert out["accuracy"] > 0.95
+    far = {t: tracked[t] + 10.0 for t in tracked}
+    assert tracking_accuracy(far, truth, radius=2.0)["accuracy"] < 1.0
+
+
+class _FakeModel:
+    """predict_instances stub whose quality peaks at prob=0.5/nms=0.3."""
+
+    def __init__(self, gt):
+        self.gt = gt
+        self._thresholds = dict(prob=0.1, nms=0.1)
+
+    def predict_instances(self, x, prob_thresh=None, nms_thresh=None):
+        if prob_thresh == 0.5 and nms_thresh == 0.3:
+            return (self.gt, {}), None
+        pred = self.gt.copy()
+        pred[pred == 2] = 0          # drop a cell elsewhere
+        return (pred, {}), None
+
+
+def test_optimize_thresholds_picks_best():
+    gt = _two_blobs()
+    model = _FakeModel(gt)
+    prob_t, nms_t = optimize_thresholds(
+        model, [np.zeros_like(gt, np.float32)], [gt],
+        prob_grid=(0.4, 0.5), nms_grid=(0.3, 0.4), verbose=False)
+    assert (prob_t, nms_t) == (0.5, 0.3)
+    assert model._thresholds == dict(prob=0.5, nms=0.3)
