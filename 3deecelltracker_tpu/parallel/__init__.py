@@ -7,9 +7,11 @@ and device-resident ensemble reductions.
 """
 
 from .mesh import make_mesh, auto_mesh_shape
+from . import multihost
 from .training import make_unet_train_step, make_sharded_unet_train_step
 
 __all__ = [
+    "multihost",
     "make_mesh",
     "auto_mesh_shape",
     "make_unet_train_step",

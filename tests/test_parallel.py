@@ -162,3 +162,20 @@ def test_spatially_sharded_apply_conv_equivalence():
     np.testing.assert_allclose(got[:, seam - 1:seam + 1],
                                want[:, seam - 1:seam + 1], rtol=1e-4,
                                atol=1e-5)
+
+
+def test_multihost_scaffolding_single_process():
+    from t3dct.parallel import multihost as mh
+    from jax.sharding import PartitionSpec as P
+
+    mh.initialize()                      # no-op single process
+    assert mh.process_count() == 1
+    assert mh.process_index() == 0
+    assert mh.local_shard(range(10)) == list(range(10))
+    # explicit 3-way split
+    assert mh.local_shard(range(10), pid=0, n=3) == [0, 1, 2, 3]
+    assert mh.local_shard(range(10), pid=2, n=3) == [8, 9]
+    mesh = make_mesh(8, 1)
+    arr = np.arange(8 * 4, dtype=np.float32).reshape(8, 4)
+    g = mh.global_batch_from_local(mesh, arr, P("data"))
+    np.testing.assert_array_equal(np.asarray(g), arr)
