@@ -125,3 +125,26 @@ def test_legacy_tracker_end_to_end(tmp_path):
     # unet cache populated
     assert os.path.exists(os.path.join(tracker.paths.unet_cache,
                                        "t000002.npy"))
+
+    # ---- ensemble mode over the same data/models (trim-mean fan-in,
+    # per-volume boundary reset, EnsembleDstrbtMode results dir)
+    tracker_e = Tracker(
+        volume_num=3, siz_xyz=SHAPE, z_xy_ratio=Z_XY_RATIO,
+        z_scaling=Z_SCALING, noise_level=20, min_size=20,
+        beta_tk=50.0, lambda_tk=0.1, maxiter_tk=10,
+        folder_path=folder, image_name="raw_t%03i_z%03i.tif",
+        unet_model_file="unet.npz", ffn_model_file="ffn.npz",
+        shrink=(4, 4, 2), max_cells=64, ensemble=2)
+    tracker_e.load_unet_arrays(model, trainer.params, trainer.bn_state)
+    tracker_e.load_ffn_arrays(ffn_tr.params, ffn_tr.bn_state)
+    tracker_e.segment_vol1()
+    tracker_e.load_manual_seg()
+    tracker_e.interpolate_seg()
+    tracker_e.initiate_tracking()
+    tracker_e.track(from_volume=2)
+    got3e = tracker_e.history.r_tracked_coordinates[-1]
+    err_e = np.linalg.norm(got3e - true3, axis=1)
+    assert np.median(err_e) < 4.0, f"ensemble tracking error: {err_e}"
+    # ensemble mode resets boundary flags every volume
+    assert tracker_e.cells_on_boundary.sum() == 0
+    assert "EnsembleDstrbtMode" in tracker_e.paths.track_results
