@@ -275,3 +275,23 @@ def test_legacy_pr_gls_quick_matches_numpy_port():
                                atol=1e-3)
     np.testing.assert_allclose(np.asarray(res.posterior), post, rtol=1e-2,
                                atol=1e-4)
+
+
+def test_simple_match_with_tied_scores():
+    """Saturated score matrices (many exact ties, e.g. a confident FFN)
+    must still terminate with a valid, maximal one-to-one matching."""
+    rng = np.random.RandomState(42)
+    mat = (rng.rand(50, 40) > 0.7).astype(np.float32)   # 0/1 entries
+    prob, pairs = simple_match(mat, threshold=0.1)
+    pairs = np.asarray(pairs)
+    assert (pairs.sum(axis=0) <= 1).all()
+    assert (pairs.sum(axis=1) <= 1).all()
+    assert (mat[pairs] >= 0.1).all()
+    # maximality: no free row/col pair with score above threshold remains
+    rem = (mat >= 0.1) & ~pairs
+    rows = pairs.any(axis=1)
+    cols = pairs.any(axis=0)
+    assert ((rem & ~rows[:, None] & ~cols[None, :]).sum()) == 0
+    # fully tied matrix matches everything
+    _, pairs2 = simple_match(np.ones((8, 8), np.float32), threshold=0.1)
+    assert np.asarray(pairs2).sum() == 8
