@@ -75,6 +75,48 @@ def sample_directions_fibonacci(s: int) -> np.ndarray:
     return rays_golden_spiral(s)
 
 
+def nearest_ray_lut(rays: np.ndarray, n_theta: int = 90,
+                    n_phi: int = 180) -> np.ndarray:
+    """Quantized-direction lookup table: LUT[i_theta, i_phi] = index of the
+    nearest ray for directions in that spherical bin.
+
+    Replaces the per-query argmax over all rays with ~10 flops + one small
+    gather.  Bin width pi/n_theta (2 deg at the default) is far below the
+    inter-ray spacing of a 96-ray lattice (~15 deg), so assignments only
+    flip at ray-cell boundaries.
+
+    Measured on v5e (worm scale, 256 candidates): the LUT render is SLOWER
+    than the 96-dot einsum+argmax (97 ms vs 70 ms) — random gathers into
+    the table cost more than MXU dot products.  Kept for CPU backends and
+    as a documented negative result; the production NMS/render paths use
+    the einsum.
+    """
+    rays = np.asarray(rays, np.float64)
+    theta = (np.arange(n_theta) + 0.5) / n_theta * np.pi          # [0, pi]
+    phi = (np.arange(n_phi) + 0.5) / n_phi * 2 * np.pi - np.pi    # [-pi, pi]
+    tt, pp = np.meshgrid(theta, phi, indexing="ij")
+    # direction components in (z, y, x) order to match the ray frame
+    dz = np.cos(tt)
+    dy = np.sin(tt) * np.sin(pp)
+    dx = np.sin(tt) * np.cos(pp)
+    dirs = np.stack([dz, dy, dx], axis=-1)                        # (t, p, 3)
+    sim = dirs @ rays.T
+    return np.argmax(sim, axis=-1).astype(np.int32)
+
+
+def lut_ray_index(lut: jax.Array, dirs: jax.Array) -> jax.Array:
+    """Nearest-ray indices for unit directions (z, y, x) via the LUT."""
+    n_theta, n_phi = lut.shape
+    z = jnp.clip(dirs[..., 0], -1.0, 1.0)
+    theta = jnp.arccos(z)
+    phi = jnp.arctan2(dirs[..., 1], dirs[..., 2])
+    it = jnp.clip((theta / jnp.pi * n_theta).astype(jnp.int32), 0,
+                  n_theta - 1)
+    ip = jnp.clip(((phi + jnp.pi) / (2 * jnp.pi) * n_phi).astype(jnp.int32),
+                  0, n_phi - 1)
+    return lut[it, ip]
+
+
 def sample_points_in_polyhedron(center: jax.Array, dists: jax.Array,
                                 rays: jax.Array, dirs: jax.Array,
                                 radii_fracs: np.ndarray) -> jax.Array:
