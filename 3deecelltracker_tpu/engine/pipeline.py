@@ -40,7 +40,8 @@ def track_timelapse(results_dir: Union[str, Path],
                     miss_frame: Optional[List[int]] = None,
                     images_path=None,
                     save_figures: bool = False,
-                    verbose: bool = True
+                    verbose: bool = True,
+                    timer=None,
                     ) -> Dict[int, np.ndarray]:
     """Track all volumes; returns {t: real coordinates}.
 
@@ -48,10 +49,14 @@ def track_timelapse(results_dir: Union[str, Path],
     ``engine.stardist.predict_and_save`` first) and the proofed vol-1 labels
     at ``manual_vol1_glob``.
     """
+    from ..utils.profiling import StageTimer
+    if timer is None:
+        timer = StageTimer()
     t_min, t_max = t_range
     transformer = CoordsToImageTransformer(results_dir, voxel_size)
     transformer.load_segmentation(manual_vol1_glob)
-    transformer.interpolate(interpolation_factor, t_start=t_min)
+    with timer.stage("interpolate_vol1"):
+        transformer.interpolate(interpolation_factor, t_start=t_min)
 
     tracker = TrackerLite(results_dir, ffn_weights,
                           transformer.coord_vol1,
@@ -129,13 +134,15 @@ def track_timelapse(results_dir: Union[str, Path],
                     combined, transformer.interpolation_factor,
                     transformer.voxel_size)
             else:
-                pred = tracker.predict_cell_positions(
-                    t2 - 1, t2, confirmed_coord_t1=coords_t1,
-                    beta=config.beta, lambda_=config.lambda_)
-            corrected, labels_dev = transformer.accurate_correction(
-                t2, grid, pred, ensemble=bool(config.ensemble),
-                max_repetition=config.max_correction_reps,
-                return_device=True)
+                with timer.stage("predict"):
+                    pred = tracker.predict_cell_positions(
+                        t2 - 1, t2, confirmed_coord_t1=coords_t1,
+                        beta=config.beta, lambda_=config.lambda_)
+            with timer.stage("correction"):
+                corrected, labels_dev = transformer.accurate_correction(
+                    t2, grid, pred, ensemble=bool(config.ensemble),
+                    max_repetition=config.max_correction_reps,
+                    return_device=True)
             save_q.put((t2, corrected, labels_dev, coords_t1.real))
             corrected_by_t[t2] = corrected
             coords_t1 = corrected
@@ -152,4 +159,5 @@ def track_timelapse(results_dir: Union[str, Path],
         coords_by_t[t2] = np.asarray(c.real)
     if verbose:
         print()
+        print(timer.summary())
     return coords_by_t

@@ -75,6 +75,15 @@ def test_v1_stardist_workflow_end_to_end(tmp_path):
     coords1 = np.load(results / "seg" / "coords000001.npy")
     assert 3 <= coords1.shape[0] <= 16, f"got {coords1.shape[0]} cells"
 
+    # ---- formal segmentation quality readout (engine.metrics)
+    from t3dct.engine.metrics import instance_matching
+    from t3dct.io.imageio import imread_stack
+    from glob import glob
+    auto1 = imread_stack(sorted(glob(str(results / "auto_vol1" / "*.tif"))))
+    m = instance_matching(lab1, auto1.astype(np.int32), iou_thresh=0.3)
+    print("vol1 instance matching:", m)
+    assert m["recall"] > 0.5, f"segmentation recall too low: {m}"
+
     # ---- "manual correction": use the true labels as manual_vol1
     # labels (z, y, x) -> slices (y, x): the pipeline (x, y, z) frame is
     # (img_y, img_x, z), matching seg coords saved as points[:, [1, 2, 0]]
