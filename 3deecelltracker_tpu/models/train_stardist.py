@@ -65,7 +65,13 @@ class TrainStarDist3D:
                  model_name: str = "stardist",
                  learning_rate: float = 3e-4,
                  dist_loss_weight: float = 0.2,
-                 max_dist: int = 32, seed: int = 0):
+                 max_dist: int = 32, seed: int = 0,
+                 batch_size: int = 2,
+                 mesh=None, data_axis: str = "data"):
+        """``batch_size``: patches per step (reference train_batch_size=2,
+        stardistwrapper.py:258).  ``mesh``: optional jax.sharding.Mesh — the
+        patch batch is sharded over ``data_axis`` (params replicated,
+        gradients all-reduced by XLA SPMD)."""
         self.config = config
         self.net = StarDist3DNet(config)
         self.params = self.net.init(jax.random.PRNGKey(seed))
@@ -78,8 +84,21 @@ class TrainStarDist3D:
         self.basedir = Path(basedir)
         self.model_name = model_name
         self.rng = np.random.RandomState(seed)
-        self._step = jax.jit(self._train_step)
-        self._make_gt = jax.jit(self._gt_impl)
+        self.batch_size = int(batch_size)
+        self._batch_sharding = None
+        if mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+            replicated = NamedSharding(mesh, P())
+            self._batch_sharding = NamedSharding(mesh, P(data_axis))
+            self._step = jax.jit(
+                self._train_step,
+                in_shardings=(replicated, replicated,
+                              self._batch_sharding, self._batch_sharding,
+                              self._batch_sharding),
+                out_shardings=(replicated, replicated, replicated))
+        else:
+            self._step = jax.jit(self._train_step)
+        self._make_gt = jax.jit(jax.vmap(self._gt_impl))
 
     # ---- GT -------------------------------------------------------------
     def _gt_impl(self, labels):
@@ -91,9 +110,9 @@ class TrainStarDist3D:
 
     # ---- loss -----------------------------------------------------------
     def _loss(self, params, x, prob_gt, dist_gt):
-        prob, dist = self.net.apply(params, x[None, ..., None])
-        prob = prob[0, ..., 0]
-        dist = dist[0]
+        """x: (b, z, y, x); prob_gt: (b, gz, gy, gx); dist_gt: (..., rays)."""
+        prob, dist = self.net.apply(params, x[..., None])
+        prob = prob[..., 0]
         eps = 1e-7
         p = jnp.clip(prob, eps, 1 - eps)
         y = prob_gt
@@ -136,12 +155,22 @@ class TrainStarDist3D:
         for epoch in range(1, epochs + 1):
             total = 0.0
             for _ in range(steps_per_epoch):
-                xp, yp = self._sample_patch(X, Y)
-                prob_gt, dist_gt = self._make_gt(
-                    jnp.asarray(np.ascontiguousarray(yp)))
+                pairs = [self._sample_patch(X, Y)
+                         for _ in range(self.batch_size)]
+                xb = jnp.asarray(np.stack(
+                    [np.ascontiguousarray(x) for x, _ in pairs]))
+                yb = jnp.asarray(np.stack(
+                    [np.ascontiguousarray(y) for _, y in pairs]))
+                prob_gt, dist_gt = self._make_gt(yb)
+                if self._batch_sharding is not None:
+                    import jax as _jax
+                    xb = _jax.device_put(xb, self._batch_sharding)
+                    prob_gt = _jax.device_put(prob_gt,
+                                              self._batch_sharding)
+                    dist_gt = _jax.device_put(dist_gt,
+                                              self._batch_sharding)
                 self.params, self.opt_state, loss = self._step(
-                    self.params, self.opt_state,
-                    jnp.asarray(np.ascontiguousarray(xp)), prob_gt, dist_gt)
+                    self.params, self.opt_state, xb, prob_gt, dist_gt)
                 total += float(loss)
             losses.append(total / steps_per_epoch)
             if verbose:

@@ -92,3 +92,31 @@ def test_stardist_training_reduces_loss(tmp_path):
     probs, dists, points, valid, prob_map = model.predict_sparse(
         img, prob_thresh=0.3)
     assert prob_map.shape == (16, 16, 16)   # grid resolution
+
+
+def test_sharded_training_matches_local():
+    """Data-parallel StarDist training over an 8-way mesh produces the
+    same loss trajectory as single-device (deterministic sampling)."""
+    from t3dct.parallel.mesh import make_mesh
+    import jax
+
+    rng = np.random.RandomState(7)
+    shape = (8, 16, 16)
+    lab = np.zeros(shape, np.int32)
+    lab[2:6, 4:10, 4:10] = 1
+    img = (lab > 0).astype(np.float32) + rng.rand(*shape).astype(
+        np.float32) * 0.1
+    cfg = StarDistConfig(n_rays=8, grid=(1, 2, 2),
+                         anisotropy=(2.0, 1.0, 1.0),
+                         unet_n_filter_base=4, net_conv_after_unet=8,
+                         train_patch_size=shape)
+    mesh = make_mesh(8, 1)
+    tr_local = TrainStarDist3D(cfg, basedir="/tmp/sd_a", max_dist=6,
+                               seed=0, batch_size=8)
+    tr_shard = TrainStarDist3D(cfg, basedir="/tmp/sd_b", max_dist=6,
+                               seed=0, batch_size=8, mesh=mesh)
+    l1 = tr_local.train([img], [lab], epochs=1, steps_per_epoch=3,
+                        verbose=False)
+    l2 = tr_shard.train([img], [lab], epochs=1, steps_per_epoch=3,
+                        verbose=False)
+    np.testing.assert_allclose(l1, l2, rtol=1e-3)
