@@ -114,7 +114,10 @@ class TrainingUNet3D:
 
     def __init__(self, noise_level: float, folder_path: Union[str, Path],
                  model: UNet3D, learning_rate: float = 1e-3, seed: int = 0,
-                 batch_size: int = 8):
+                 batch_size: int = 8, mesh=None):
+        """``mesh``: optional jax.sharding.Mesh — train steps shard the
+        batch over (data, spatial) axes (parallel/training.py);
+        ``batch_size`` must divide the data axis."""
         self.noise_level = noise_level
         self.folder_path = Path(folder_path)
         self.model = model
@@ -128,7 +131,19 @@ class TrainingUNet3D:
         self.opt_state = self.optimizer.init(self.params)
         save_pytree((self.params, self.bn_state),
                     self.models_path / "weights_initial.npz")
-        self._step = jax.jit(make_unet_train_step(model, self.optimizer))
+        self._batch_sharding = None
+        if mesh is not None:
+            from ..parallel.training import make_sharded_unet_train_step
+            step, self._batch_sharding = make_sharded_unet_train_step(
+                model, self.optimizer, mesh)
+            # donation breaks the keep-weights-on-improvement workflow;
+            # re-jit without it
+            self._step = jax.jit(
+                make_unet_train_step(model, self.optimizer),
+                in_shardings=(None, None, None, self._batch_sharding,
+                              self._batch_sharding))
+        else:
+            self._step = jax.jit(make_unet_train_step(model, self.optimizer))
         self._key = jax.random.PRNGKey(seed + 1)
         self.val_losses: List[float] = []
         self.train_image = self.train_label = None
@@ -170,7 +185,11 @@ class TrainingUNet3D:
         labs = jnp.asarray(
             self.train_subcells[start:start + self.batch_size], jnp.int32)
         self._key, sub = jax.random.split(self._key)
-        return augment_batch(sub, imgs, labs)
+        x, y = augment_batch(sub, imgs, labs)
+        if self._batch_sharding is not None:
+            x = jax.device_put(x, self._batch_sharding)
+            y = jax.device_put(y, self._batch_sharding)
+        return x, y
 
     def validation_loss(self) -> float:
         xs = jnp.asarray(self.valid_subimage, jnp.float32)

@@ -89,3 +89,28 @@ def test_unet_training_reduces_loss(tmp_path):
     assert (tmp_path / "models" / "weights_training_step1.npz").exists()
     tr.select_weights(1)
     assert (tmp_path / "models" / "unet3_pretrained.npz").exists()
+
+
+@pytest.mark.slow
+def test_unet_training_sharded_matches_local(tmp_path):
+    """Mesh-sharded U-Net training matches single-device (same seeds)."""
+    from t3dct.parallel.mesh import make_mesh
+
+    rng = np.random.RandomState(5)
+    shape = (32, 32, 8)
+    img = rng.rand(*shape).astype(np.float32) * 100
+    label = (img > 70).astype(np.int32)
+    model = UNet3D(variant="a", tile_shape=(16, 16, 8), pool=(2, 2, 1),
+                   down_filters=((4, 4),), up_filters=((4, 4),),
+                   head_filters=(4,))
+    mesh = make_mesh(2, 4)
+    runs = []
+    for m in (None, mesh):
+        tr = TrainingUNet3D(noise_level=10.0,
+                            folder_path=tmp_path / f"m{m is not None}",
+                            model=model, batch_size=4, mesh=m)
+        tr.load_dataset_arrays(img, label, img, label)
+        tr.preprocess()
+        runs.append(tr.train(iteration=2, steps_per_epoch=4,
+                             verbose=False))
+    np.testing.assert_allclose(runs[0], runs[1], rtol=1e-3)
