@@ -98,6 +98,14 @@ def track_timelapse(results_dir: Union[str, Path],
     saver_thread = threading.Thread(target=saver, daemon=True)
     saver_thread.start()
 
+    # prob maps (the correction stage's input) prefetch on their own
+    # thread so the device loop never blocks on npy reads + grid upsampling
+    from ..io.prefetch import VolumePrefetcher
+    prob_iter = iter(VolumePrefetcher(
+        lambda t: transformer.load_prob_map(t, grid),
+        [t for t in range(t_min + 1, t_max + 1)
+         if t not in (miss_frame or [])], depth=2))
+
     coords_by_t: Dict[int, np.ndarray] = {
         t_min: np.asarray(transformer.coord_vol1.real)}
     coords_t1 = transformer.coord_vol1
@@ -138,11 +146,13 @@ def track_timelapse(results_dir: Union[str, Path],
                     pred = tracker.predict_cell_positions(
                         t2 - 1, t2, confirmed_coord_t1=coords_t1,
                         beta=config.beta, lambda_=config.lambda_)
+            t_prob, prob_map = next(prob_iter)
+            assert t_prob == t2
             with timer.stage("correction"):
                 corrected, labels_dev = transformer.accurate_correction(
                     t2, grid, pred, ensemble=bool(config.ensemble),
                     max_repetition=config.max_correction_reps,
-                    return_device=True)
+                    prob_map=prob_map, return_device=True)
             save_q.put((t2, corrected, labels_dev, coords_t1.real))
             corrected_by_t[t2] = corrected
             coords_t1 = corrected
