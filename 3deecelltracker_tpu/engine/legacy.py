@@ -150,6 +150,7 @@ class Tracker:
         self.atlas = None
         self.segresult = None
         self.tracked_labels = None
+        self.save_figures = False
 
     # ---- parameter setters (tracker.py:520-550, 889-906) -------------------
     def set_segmentation(self, noise_level=None, min_size=None,
@@ -569,6 +570,20 @@ class Tracker:
         save_label_slices(self.tracked_labels, self.paths.track_results,
                           "track_results_t%06i_z%04i.tif", target_volume,
                           self.use_8_bit)
+        if self.save_figures:
+            try:
+                from ..viz import draw_matching_6panel
+                raw = self._read_volume(target_volume)
+                draw_matching_6panel(
+                    raw, self.tracked_labels, r_coor_mean,
+                    self.segresult.r_coordinates_segment,
+                    self.history.r_tracked_coordinates[-1],
+                    z_xy_ratio=self.z_xy_ratio,
+                    path=os.path.join(self.paths.anim,
+                                      "track_anim_t%06i.png"
+                                      % target_volume))
+            except Exception as e:
+                print(f"6-panel figure skipped: {e}")
         if self.ensemble:
             # ensemble mode: boundary flags reset (tracker.py:1529-1531)
             self.cells_on_boundary = np.zeros(self.cell_num_t0, int)
@@ -577,6 +592,14 @@ class Tracker:
             self.segresult.r_coordinates_segment)
         self.history.r_tracked_coordinates.append(
             self.r_coordinates_tracked_t0 + r_disp)
+
+    def replay_track_animation(self, from_volume: int = 2):
+        """Assemble the saved per-volume anim/ figures (tracker.py:1433-1460);
+        requires tracking with ``save_figures=True``."""
+        from ..viz import replay_track_animation
+        return replay_track_animation(self.paths.anim,
+                                      range(from_volume,
+                                            self.volume_num + 1))
 
     def save_coordinates(self):
         """tracker.py:1538-1551."""

@@ -191,6 +191,67 @@ class TrainingUNet3D:
             y = jax.device_put(y, self._batch_sharding)
         return x, y
 
+    # ---- inspection plots (unet3d.py:441-541, 590-601) -----------------------
+    def draw_dataset(self, path=None):
+        """Max projections of train/valid images + annotations
+        (unet3d.py:441-459)."""
+        return self._draw_four(self.train_image, self.train_label,
+                               self.valid_image, self.valid_label, path)
+
+    def draw_norm_dataset(self, path=None):
+        """Same for the normalized data (unet3d.py:484-503)."""
+        return self._draw_four(self.train_image_norm, self.train_label_norm,
+                               self.valid_image_norm, self.valid_label_norm,
+                               path)
+
+    def draw_divided_train_data(self, n: int = 16, path=None, seed=0):
+        """A grid of random training patches (unet3d.py:518-541)."""
+        import matplotlib
+        matplotlib.use("Agg")
+        import matplotlib.pyplot as plt
+        rng = np.random.RandomState(seed)
+        idx = rng.randint(self.train_subimage.shape[0], size=n)
+        fig, axs = plt.subplots(4, 8, figsize=(20, 10), squeeze=False)
+        for i in range(min(n, 16)):
+            r, c = divmod(i, 4)
+            axs[r][2 * c].imshow(self.train_subimage[idx[i], :, :, :, 0]
+                                 .max(axis=2), cmap="gray")
+            axs[r][2 * c].axis("off")
+            axs[r][2 * c + 1].imshow(self.train_subcells[idx[i], :, :, :, 0]
+                                     .max(axis=2), cmap="gray")
+            axs[r][2 * c + 1].axis("off")
+        if path:
+            fig.savefig(path)
+            plt.close(fig)
+        return fig
+
+    def draw_prediction(self, path=None):
+        """Current tiled prediction vs annotation (unet3d.py:590-601)."""
+        from ..ops.tiling import tiled_apply
+
+        def model_fn(batch):
+            probs, _ = self.model.apply(self.params, self.bn_state,
+                                        batch[..., None], train=False)
+            return probs[..., 0]
+
+        pred = np.asarray(tiled_apply(
+            model_fn, jnp.asarray(self.train_image_norm, jnp.float32),
+            self.model.tile_shape, (4, 4, 1)))
+        return self._draw_four(self.train_image, pred > 0.5,
+                               self.valid_image, self.valid_label, path)
+
+    def _draw_four(self, a, b, c, d, path=None):
+        import matplotlib
+        matplotlib.use("Agg")
+        import matplotlib.pyplot as plt
+        fig, axs = plt.subplots(2, 2, figsize=(14, 12))
+        for ax, img in zip(axs.ravel(), (a, b, c, d)):
+            ax.imshow(np.max(np.asarray(img), axis=2), cmap="gray")
+        if path:
+            fig.savefig(path)
+            plt.close(fig)
+        return fig
+
     def validation_loss(self) -> float:
         xs = jnp.asarray(self.valid_subimage, jnp.float32)
         ys = jnp.asarray(self.valid_subcells, jnp.float32)
