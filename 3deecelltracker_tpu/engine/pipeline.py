@@ -23,10 +23,58 @@ from typing import Dict, List, Optional, Tuple, Union
 
 import numpy as np
 
+import functools
+
+import jax
+import jax.numpy as jnp
+
 from ..config import TrackingConfig
 from ..coordinates import Coordinates
-from .tracker import TrackerLite, get_volumes_list
-from .transformer import CoordsToImageTransformer
+from ..ops.watershed import recalculate_cell_boundaries
+from .correction import accurate_correction_loop, get_cells_on_boundary
+from .tracker import TrackerLite, get_volumes_list, track_step
+from .transformer import BOUNDARY_XY, CoordsToImageTransformer
+
+
+@functools.partial(jax.jit, static_argnames=(
+    "voxel_size", "image_shape", "ensemble", "max_repetition",
+    "k_points", "max_iteration"))
+def fused_track_and_correct(ffn_params, ffn_state,
+                            confirmed_raw: jax.Array,
+                            coord_vol1_raw: jax.Array,
+                            seg_t1_real: jax.Array, seg_t1_mask: jax.Array,
+                            seg_t2_real: jax.Array, seg_t2_mask: jax.Array,
+                            prob_img: jax.Array,
+                            atlas,
+                            voxel_size, image_shape,
+                            beta: float, lambda_: float,
+                            ensemble: bool = False,
+                            max_repetition: int = 20,
+                            k_points: int = 20,
+                            max_iteration: int = 2000):
+    """One volume of the tracking recurrence as a SINGLE device program:
+    FFN matching + PR-GLS + boundary flagging + accurate correction +
+    boundary recalculation.  One dispatch per volume instead of six —
+    matters when host-to-device latency is non-trivial (remote links), and
+    lets XLA overlap the stages."""
+    vs = jnp.asarray(voxel_size, jnp.float32)
+    confirmed_real = confirmed_raw * vs
+    tracked_real = track_step(ffn_params, ffn_state, confirmed_real,
+                              seg_t1_real, seg_t1_mask,
+                              seg_t2_real, seg_t2_mask,
+                              beta=beta, lambda_=lambda_,
+                              k_points=k_points,
+                              max_iteration=max_iteration)
+    boundary = get_cells_on_boundary(tracked_real, image_shape, voxel_size,
+                                     ensemble=ensemble,
+                                     boundary_xy=BOUNDARY_XY)
+    pred_raw = tracked_real / vs
+    corrected_raw, labels, overlap, _ = accurate_correction_loop(
+        atlas, coord_vol1_raw, pred_raw, prob_img, boundary,
+        max_repetition=max_repetition)
+    corrected_labels = recalculate_cell_boundaries(
+        labels, overlap, sampling_xy=tuple(voxel_size[:2]))
+    return corrected_raw, corrected_labels
 
 
 def track_timelapse(results_dir: Union[str, Path],
@@ -119,7 +167,6 @@ def track_timelapse(results_dir: Union[str, Path],
                 # device fan-out over reference volumes with in-memory
                 # confirmed coordinates (the disk-reading reference variant
                 # would race with the async writer)
-                import jax.numpy as jnp
                 from ..parallel.ensemble import ensemble_track_step
                 t1s = get_volumes_list(t2, tracker.miss_frame,
                                        config.sampling_number,
@@ -141,18 +188,37 @@ def track_timelapse(results_dir: Union[str, Path],
                 pred = Coordinates.from_real(
                     combined, transformer.interpolation_factor,
                     transformer.voxel_size)
+                t_prob, prob_map = next(prob_iter)
+                assert t_prob == t2
+                with timer.stage("correction"):
+                    corrected, labels_dev = transformer.accurate_correction(
+                        t2, grid, pred, ensemble=True,
+                        max_repetition=config.max_correction_reps,
+                        prob_map=prob_map, return_device=True)
             else:
-                with timer.stage("predict"):
-                    pred = tracker.predict_cell_positions(
-                        t2 - 1, t2, confirmed_coord_t1=coords_t1,
-                        beta=config.beta, lambda_=config.lambda_)
-            t_prob, prob_map = next(prob_iter)
-            assert t_prob == t2
-            with timer.stage("correction"):
-                corrected, labels_dev = transformer.accurate_correction(
-                    t2, grid, pred, ensemble=bool(config.ensemble),
-                    max_repetition=config.max_correction_reps,
-                    prob_map=prob_map, return_device=True)
+                # single mode: the whole per-volume step is one device
+                # program (match + EM + boundary + correction + watershed)
+                t_prob, prob_map = next(prob_iter)
+                assert t_prob == t2
+                seg1, m1 = tracker._pad(np.asarray(
+                    tracker._get_segmented_pos(t2 - 1).real))
+                seg2, m2 = tracker._pad(np.asarray(
+                    tracker._get_segmented_pos(t2).real))
+                with timer.stage("track+correct (fused)"):
+                    corrected_raw, labels_dev = fused_track_and_correct(
+                        tracker.ffn_params, tracker.ffn_state,
+                        coords_t1.raw_f32,
+                        transformer.coord_vol1.raw_f32,
+                        seg1, m1, seg2, m2, jnp.asarray(prob_map),
+                        transformer.atlas,
+                        tuple(transformer.voxel_size),
+                        transformer.proofed_segmentation.shape,
+                        beta=config.beta, lambda_=config.lambda_,
+                        ensemble=False,
+                        max_repetition=config.max_correction_reps)
+                corrected = Coordinates(
+                    corrected_raw, transformer.interpolation_factor,
+                    tuple(transformer.voxel_size))
             save_q.put((t2, corrected, labels_dev, coords_t1.real))
             corrected_by_t[t2] = corrected
             coords_t1 = corrected
