@@ -29,6 +29,10 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
+from t3dct.utils.cache import enable_compilation_cache
+
+enable_compilation_cache()
+
 VOL_XYZ = (168, 401, 128)        # worm1-class (x, y, z), SURVEY §6
 N_CELLS = 150
 MAX_CELLS = 192

@@ -42,7 +42,11 @@ def make_volume(t, centers0, drift, rng):
     return img.astype(np.float32), lab
 
 
+from t3dct.utils.cache import enable_compilation_cache
+
+
 def main():
+    enable_compilation_cache()
     ap = argparse.ArgumentParser()
     ap.add_argument("--out", default="/tmp/t3dct_demo")
     args = ap.parse_args()

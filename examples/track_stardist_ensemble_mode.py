@@ -21,7 +21,11 @@ from t3dct.io.artifacts import ResultsTree
 from t3dct.io.imageio import get_t_range
 
 
+from t3dct.utils.cache import enable_compilation_cache
+
+
 def main():
+    enable_compilation_cache()
     ap = argparse.ArgumentParser()
     ap.add_argument("--images", required=True)
     ap.add_argument("--results", default="results")

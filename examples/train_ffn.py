@@ -11,7 +11,11 @@ import argparse
 from t3dct.models.train_ffn import TrainFFN
 
 
+from t3dct.utils.cache import enable_compilation_cache
+
+
 def main():
+    enable_compilation_cache()
     ap = argparse.ArgumentParser()
     ap.add_argument("--model-name", default="ffn_model")
     ap.add_argument("--points", help="txt/CSV of (n, 3) cell positions")

@@ -19,7 +19,11 @@ from t3dct.io.imageio import imread, percentile_normalize
 from t3dct.models.train_stardist import TrainStarDist3D
 
 
+from t3dct.utils.cache import enable_compilation_cache
+
+
 def main():
+    enable_compilation_cache()
     ap = argparse.ArgumentParser()
     ap.add_argument("--train-images", required=True)
     ap.add_argument("--train-labels", required=True)

@@ -18,7 +18,11 @@ import argparse
 from t3dct.engine.legacy import Tracker
 
 
+from t3dct.utils.cache import enable_compilation_cache
+
+
 def main():
+    enable_compilation_cache()
     ap = argparse.ArgumentParser()
     ap.add_argument("--folder", required=True)
     ap.add_argument("--image-name", default="raw_t%04i_z%04i.tif")
