@@ -57,7 +57,9 @@ def bench_stardist_seg():
 
     cfg = StarDistConfig(n_rays=96, grid=(1, 2, 2),
                          anisotropy=(9.2, 1.0, 1.0))
-    model = StarDist3D(cfg, max_candidates=256, render_box=(9, 49, 49))
+    # render box sized to worm cells (z thin at anisotropy 9.2; xy radius
+    # <= 16) — the box is the user's size knob, like stardist's bbox
+    model = StarDist3D(cfg, max_candidates=256, render_box=(9, 33, 33))
     # model frame is (z, y, x); worm z-slices ~ VOL_XYZ[2]/grid physical
     z, y, x = 24, VOL_XYZ[1], VOL_XYZ[0]
     vol = np.asarray(jax.random.uniform(jax.random.PRNGKey(1), (z, y, x),
