@@ -229,6 +229,23 @@ class Tracker:
         return self.segmenter.segment(image_raw, method=method,
                                       cache_path=cache)
 
+    def precompute_segmentation(self, volumes=None,
+                                prefetch_depth: int = 2) -> None:
+        """Prewarm the U-Net cache for all volumes with prefetched input —
+        the bulk analogue of the reference's lazy per-volume cache
+        (tracker.py:652-669).  Tracking afterwards never touches the
+        network."""
+        from ..io.prefetch import VolumePrefetcher
+        if volumes is None:
+            volumes = range(1, self.volume_num + 1)
+        loader = VolumePrefetcher(self._read_volume, volumes,
+                                  depth=prefetch_depth)
+        for vol, image_raw in loader:
+            cache = os.path.join(self.paths.unet_cache, "t%06i.npy" % vol)
+            self.segmenter.predict_cellregions(image_raw, cache)
+            print(f"cached U-Net prediction t={vol}", end="\r")
+        print()
+
     def segment_vol1(self, method="min_size"):
         self.segresult = self._segment(1, method)
         self.r_coordinates_segment_t0 = \

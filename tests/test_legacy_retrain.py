@@ -69,3 +69,31 @@ def test_retrain_and_select(tmp_path):
         assert os.path.exists(os.path.join(tracker.paths.unet_weights,
                                            "unet3_retrained.npz"))
     tracker.select_unet_weights(0)   # restore initial works
+
+
+@pytest.mark.slow
+def test_precompute_segmentation(tmp_path):
+    tracker = Tracker(
+        volume_num=2, siz_xyz=SHAPE, z_xy_ratio=Z_XY_RATIO,
+        z_scaling=Z_SCALING, noise_level=20, min_size=20,
+        beta_tk=50.0, lambda_tk=0.1, maxiter_tk=5,
+        folder_path=str(tmp_path), image_name="raw_t%03i_z%03i.tif",
+        unet_model_file="unet.npz", ffn_model_file="ffn.npz",
+        shrink=(4, 4, 2), max_cells=64)
+    for t in (1, 2):
+        img, lab, _ = _volume_at(t)
+        from t3dct.io.imageio import save_label_slices
+        save_label_slices(img.astype(np.uint16), tracker.paths.raw_image,
+                          "raw_t%03i_z%03i.tif", t, use_8_bit=False,
+                          compression=None)
+    model = UNet3D(variant="a", tile_shape=(24, 24, 8), pool=(2, 2, 1),
+                   down_filters=((4, 4),), up_filters=((4, 4),),
+                   head_filters=(4,))
+    params, state = model.init(jax.random.PRNGKey(0))
+    tracker.load_unet_arrays(model, params, state)
+    tracker.precompute_segmentation()
+    import os
+    assert os.path.exists(os.path.join(tracker.paths.unet_cache,
+                                       "t000001.npy"))
+    assert os.path.exists(os.path.join(tracker.paths.unet_cache,
+                                       "t000002.npy"))
