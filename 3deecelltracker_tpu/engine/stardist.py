@@ -61,6 +61,10 @@ class StarDist3D:
         # jit once: re-wrapping per call would retrace + recompile the
         # backbone for every volume
         self._fwd = jax.jit(self.net.apply)
+        # fused whole-pipeline programs, keyed by (shape, return_labels):
+        # a single dispatch per volume (the split per-stage dispatch costs
+        # ~75 ms/volume in host round-trips through a remote TPU link)
+        self._fused: Dict[tuple, object] = {}
 
     # ---- persistence -----------------------------------------------------
     def save(self, model_dir: Union[str, Path]) -> None:
@@ -122,6 +126,47 @@ class StarDist3D:
                     & (points[:, 2] < orig_shape[2]))
         return probs, dists, points, valid & in_range, prob_map
 
+    def _get_fused(self, orig_shape: Tuple[int, ...], return_labels: bool):
+        """One jitted program for the ENTIRE per-volume instance pipeline
+        (backbone -> candidate gather -> overlap -> NMS -> label render):
+        a single device dispatch per volume instead of ~10, which matters
+        through a high-latency (tunneled/remote) device link."""
+        key = (tuple(orig_shape), return_labels)
+        fn = self._fused.get(key)
+        if fn is not None:
+            return fn
+        cfg = self.config
+        net, rays = self.net, self.rays
+        max_candidates, render_box = self.max_candidates, self.render_box
+        gshape = tuple(-(-s // g) for s, g in zip(orig_shape, cfg.grid))
+        image_shape = tuple(int(s) for s in orig_shape)
+
+        @jax.jit
+        def fused(params, xp, prob_thresh, nms_thresh):
+            prob_g, dist_g = net.apply(params, xp[None, ..., None])
+            prob_g, dist_g = prob_g[0, ..., 0], dist_g[0]
+            probs, dists, points, valid = sparse_candidates(
+                prob_g, dist_g, cfg.grid, prob_thresh,
+                max_candidates=max_candidates)
+            prob_map = prob_g[:gshape[0], :gshape[1], :gshape[2]]
+            # resizer.filter_points: drop candidates in the pad margin
+            valid = (valid
+                     & (points[:, 0] < orig_shape[0])
+                     & (points[:, 1] < orig_shape[1])
+                     & (points[:, 2] < orig_shape[2]))
+            centers = points.astype(jnp.float32)
+            overlaps = overlap_matrix(centers, dists, rays, valid)
+            kept = greedy_nms(probs, overlaps, valid, nms_thresh)
+            out = (kept, probs, dists, points, prob_map)
+            if return_labels:
+                out = out + (render_polyhedra_labels(
+                    centers, dists, rays, probs, kept, image_shape,
+                    render_box),)
+            return out
+
+        self._fused[key] = fused
+        return fused
+
     def _predict_instances_device(self, x: np.ndarray,
                                   prob_thresh: Optional[float] = None,
                                   nms_thresh: Optional[float] = None,
@@ -129,18 +174,18 @@ class StarDist3D:
         """Dispatch the full instance pipeline; returns device arrays only
         (no host sync) so callers can overlap transfer with the next
         volume's compute."""
+        if prob_thresh is None:
+            prob_thresh = self._thresholds["prob"]
         if nms_thresh is None:
             nms_thresh = self._thresholds["nms"]
-        probs, dists, points, valid, prob_map = self.predict_sparse(
-            x, prob_thresh)
-        centers = points.astype(jnp.float32)
-        overlaps = overlap_matrix(centers, dists, self.rays, valid)
-        kept = greedy_nms(probs, overlaps, valid, nms_thresh)
-        labels_dev = None
+        padded, orig_shape = self._pad_input(np.asarray(x, np.float32))
+        fused = self._get_fused(orig_shape, return_labels)
+        out = fused(self.params, jnp.asarray(padded),
+                    jnp.float32(prob_thresh), jnp.float32(nms_thresh))
         if return_labels:
-            labels_dev = render_polyhedra_labels(
-                centers, dists, self.rays, probs, kept,
-                tuple(int(s) for s in x.shape), self.render_box)
+            kept, probs, dists, points, prob_map, labels_dev = out
+        else:
+            (kept, probs, dists, points, prob_map), labels_dev = out, None
         return kept, probs, dists, points, prob_map, labels_dev
 
     def _finalize_instances(self, device_tuple):
