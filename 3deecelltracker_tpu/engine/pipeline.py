@@ -38,7 +38,7 @@ from .transformer import BOUNDARY_XY, CoordsToImageTransformer
 
 @functools.partial(jax.jit, static_argnames=(
     "voxel_size", "image_shape", "ensemble", "max_repetition",
-    "k_points", "max_iteration"))
+    "k_points", "max_iteration", "prob_grid"))
 def fused_track_and_correct(ffn_params, ffn_state,
                             confirmed_raw: jax.Array,
                             coord_vol1_raw: jax.Array,
@@ -51,12 +51,26 @@ def fused_track_and_correct(ffn_params, ffn_state,
                             ensemble: bool = False,
                             max_repetition: int = 20,
                             k_points: int = 20,
-                            max_iteration: int = 2000):
+                            max_iteration: int = 2000,
+                            prob_grid: Tuple[int, int, int] = (1, 1, 1)):
     """One volume of the tracking recurrence as a SINGLE device program:
     FFN matching + PR-GLS + boundary flagging + accurate correction +
     boundary recalculation.  One dispatch per volume instead of six —
     matters when host-to-device latency is non-trivial (remote links), and
-    lets XLA overlap the stages."""
+    lets XLA overlap the stages.
+
+    ``prob_grid``: when != (1,1,1), ``prob_img`` is the GRID-resolution
+    probability map as stored on disk ((x, y, z) frame,
+    ``seg/prob*.npy``); the grid upsample + crop
+    (coord_image_transformer.py:431-435) runs on device — uploading the
+    grid-res map moves grid_y*grid_x times fewer bytes per volume."""
+    if prob_grid != (1, 1, 1):
+        for axis, g in zip((0, 1, 2),
+                           (prob_grid[1], prob_grid[2], prob_grid[0])):
+            if g > 1:
+                prob_img = jnp.repeat(prob_img, g, axis=axis)
+        prob_img = prob_img[:image_shape[0], :image_shape[1],
+                            :image_shape[2]]
     vs = jnp.asarray(voxel_size, jnp.float32)
     confirmed_real = confirmed_raw * vs
     tracked_real = track_step(ffn_params, ffn_state, confirmed_real,
@@ -74,7 +88,9 @@ def fused_track_and_correct(ffn_params, ffn_state,
         max_repetition=max_repetition)
     corrected_labels = recalculate_cell_boundaries(
         labels, overlap, sampling_xy=tuple(voxel_size[:2]))
-    return corrected_raw, corrected_labels
+    # uint16 halves the device->host transfer; the on-disk label TIFFs are
+    # 8/16-bit anyway (coord_image_transformer.py:561-583)
+    return corrected_raw, corrected_labels.astype(jnp.uint16)
 
 
 def track_timelapse(results_dir: Union[str, Path],
@@ -147,12 +163,15 @@ def track_timelapse(results_dir: Union[str, Path],
     saver_thread.start()
 
     # prob maps (the correction stage's input) prefetch on their own
-    # thread so the device loop never blocks on npy reads + grid upsampling
+    # thread so the device loop never blocks on npy reads; the grid
+    # upsample happens ON DEVICE (fused_track_and_correct prob_grid), so
+    # only the grid-resolution map is uploaded
     from ..io.prefetch import VolumePrefetcher
     prob_iter = iter(VolumePrefetcher(
-        lambda t: transformer.load_prob_map(t, grid),
+        lambda t: transformer.tree.load_seg_prob(t).astype(np.float32),
         [t for t in range(t_min + 1, t_max + 1)
          if t not in (miss_frame or [])], depth=2))
+    grid_t = tuple(int(g) for g in grid)
 
     coords_by_t: Dict[int, np.ndarray] = {
         t_min: np.asarray(transformer.coord_vol1.real)}
@@ -188,8 +207,13 @@ def track_timelapse(results_dir: Union[str, Path],
                 pred = Coordinates.from_real(
                     combined, transformer.interpolation_factor,
                     transformer.voxel_size)
-                t_prob, prob_map = next(prob_iter)
+                t_prob, prob_g = next(prob_iter)
                 assert t_prob == t2
+                prob_map = np.repeat(np.repeat(np.repeat(
+                    prob_g, grid_t[1], axis=0), grid_t[2], axis=1),
+                    grid_t[0], axis=2)
+                x_s, y_s, z_s = transformer.proofed_segmentation.shape
+                prob_map = prob_map[:x_s, :y_s, :z_s]
                 with timer.stage("correction"):
                     corrected, labels_dev = transformer.accurate_correction(
                         t2, grid, pred, ensemble=True,
@@ -198,7 +222,7 @@ def track_timelapse(results_dir: Union[str, Path],
             else:
                 # single mode: the whole per-volume step is one device
                 # program (match + EM + boundary + correction + watershed)
-                t_prob, prob_map = next(prob_iter)
+                t_prob, prob_g = next(prob_iter)
                 assert t_prob == t2
                 seg1, m1 = tracker._pad(np.asarray(
                     tracker._get_segmented_pos(t2 - 1).real))
@@ -209,13 +233,14 @@ def track_timelapse(results_dir: Union[str, Path],
                         tracker.ffn_params, tracker.ffn_state,
                         coords_t1.raw_f32,
                         transformer.coord_vol1.raw_f32,
-                        seg1, m1, seg2, m2, jnp.asarray(prob_map),
+                        seg1, m1, seg2, m2, jnp.asarray(prob_g),
                         transformer.atlas,
                         tuple(transformer.voxel_size),
                         transformer.proofed_segmentation.shape,
                         beta=config.beta, lambda_=config.lambda_,
                         ensemble=False,
-                        max_repetition=config.max_correction_reps)
+                        max_repetition=config.max_correction_reps,
+                        prob_grid=grid_t)
                 corrected = Coordinates(
                     corrected_raw, transformer.interpolation_factor,
                     tuple(transformer.voxel_size))

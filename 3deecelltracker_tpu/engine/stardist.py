@@ -126,12 +126,20 @@ class StarDist3D:
                     & (points[:, 2] < orig_shape[2]))
         return probs, dists, points, valid & in_range, prob_map
 
-    def _get_fused(self, orig_shape: Tuple[int, ...], return_labels: bool):
+    def _get_fused(self, orig_shape: Tuple[int, ...], return_labels: bool,
+                   in_dtype: str):
         """One jitted program for the ENTIRE per-volume instance pipeline
-        (backbone -> candidate gather -> overlap -> NMS -> label render):
-        a single device dispatch per volume instead of ~10, which matters
-        through a high-latency (tunneled/remote) device link."""
-        key = (tuple(orig_shape), return_labels)
+        (normalize -> pad -> backbone -> candidate gather -> overlap ->
+        NMS -> label render): a single device dispatch per volume instead
+        of ~10, which matters through a high-latency (tunneled/remote)
+        device link.
+
+        The program takes the RAW volume (any dtype, e.g. the microscope's
+        uint16 — half the upload bytes of float32) plus the two host-side
+        percentile scalars, and normalizes on device with csbdeep's
+        formula (``stardistwrapper.py:71``): bit-identical to normalizing
+        on host."""
+        key = (tuple(orig_shape), return_labels, in_dtype)
         fn = self._fused.get(key)
         if fn is not None:
             return fn
@@ -140,9 +148,13 @@ class StarDist3D:
         max_candidates, render_box = self.max_candidates, self.render_box
         gshape = tuple(-(-s // g) for s, g in zip(orig_shape, cfg.grid))
         image_shape = tuple(int(s) for s in orig_shape)
+        div = self.net.div_by
+        pads = [(0, (-s) % d) for s, d in zip(orig_shape, div)]
 
         @jax.jit
-        def fused(params, xp, prob_thresh, nms_thresh):
+        def fused(params, x_raw, mi, ma, prob_thresh, nms_thresh):
+            x = (x_raw.astype(jnp.float32) - mi) / (ma - mi + 1e-20)
+            xp = jnp.pad(x, pads, mode="reflect")
             prob_g, dist_g = net.apply(params, xp[None, ..., None])
             prob_g, dist_g = prob_g[0, ..., 0], dist_g[0]
             probs, dists, points, valid = sparse_candidates(
@@ -170,17 +182,26 @@ class StarDist3D:
     def _predict_instances_device(self, x: np.ndarray,
                                   prob_thresh: Optional[float] = None,
                                   nms_thresh: Optional[float] = None,
-                                  return_labels: bool = True):
+                                  return_labels: bool = True,
+                                  norm_minmax: Tuple[float, float] = (0.0,
+                                                                      1.0)):
         """Dispatch the full instance pipeline; returns device arrays only
         (no host sync) so callers can overlap transfer with the next
-        volume's compute."""
+        volume's compute.
+
+        ``norm_minmax``: percentile scalars for on-device normalization.
+        The default (0, 1) is an exact identity for pre-normalized float
+        input; ``predict_and_save`` passes raw uint16 volumes with their
+        host-computed 1/99.8 percentiles instead (half the upload bytes)."""
         if prob_thresh is None:
             prob_thresh = self._thresholds["prob"]
         if nms_thresh is None:
             nms_thresh = self._thresholds["nms"]
-        padded, orig_shape = self._pad_input(np.asarray(x, np.float32))
-        fused = self._get_fused(orig_shape, return_labels)
-        out = fused(self.params, jnp.asarray(padded),
+        x = np.asarray(x)
+        mi, ma = norm_minmax
+        fused = self._get_fused(x.shape, return_labels, x.dtype.str)
+        out = fused(self.params, jnp.asarray(x),
+                    jnp.float32(mi), jnp.float32(ma),
                     jnp.float32(prob_thresh), jnp.float32(nms_thresh))
         if return_labels:
             kept, probs, dists, points, prob_map, labels_dev = out
@@ -228,10 +249,12 @@ def predict_and_save(images_path, model: StarDist3D,
     (``stardistwrapper.predict_and_save`` :75-111): coords saved (y, x, z)
     -> the pipeline's (x, y, z) frame, prob_map transposed to (x, y, z).
 
-    Pipelined: input volumes prefetch on one thread, device compute for
-    volume t+1 dispatches while volume t's results transfer and write on a
-    saver thread — the device never waits on codecs or (remote-link)
-    round-trip latency."""
+    Pipelined: input volumes prefetch on one thread (raw dtype, with the
+    1/99.8 normalization percentiles computed there too — normalization
+    itself runs on device, halving upload bytes for uint16 data), device
+    compute for volume t+1 dispatches while volume t's results transfer
+    and write on a saver thread — the device never waits on codecs or
+    (remote-link) round-trip latency."""
     import queue
     import threading
 
@@ -239,9 +262,13 @@ def predict_and_save(images_path, model: StarDist3D,
     tree.make_dirs()
     t_max, t_min = get_t_range(images_path)
 
-    loader = VolumePrefetcher(
-        lambda t: load_2d_slices_at_time(images_path, t=t),
-        range(t_min, t_max + 1), depth=prefetch_depth)
+    def _load_raw(t):
+        x = load_2d_slices_at_time(images_path, t=t, do_normalize=False)
+        mi, ma = np.percentile(x, [1.0, 99.8])
+        return x, float(mi), float(ma)
+
+    loader = VolumePrefetcher(_load_raw, range(t_min, t_max + 1),
+                              depth=prefetch_depth)
 
     save_q: "queue.Queue" = queue.Queue(maxsize=prefetch_depth)
     errors = []
@@ -268,8 +295,9 @@ def predict_and_save(images_path, model: StarDist3D,
     saver_thread.start()
     done_t = t_min - 1
     try:
-        for t, x in loader:
-            save_q.put((t, model._predict_instances_device(x)))
+        for t, (x, mi, ma) in loader:
+            save_q.put((t, model._predict_instances_device(
+                x, norm_minmax=(mi, ma))))
             done_t = t
             if errors:
                 raise errors[0]

@@ -56,7 +56,8 @@ def prgls_with_two_ref(init_match: jax.Array,
                        tgt_mask: Optional[jax.Array] = None,
                        ref_mask: Optional[jax.Array] = None,
                        vol: float = 1.0,
-                       convergence_epsilon: float = 1e-3) -> PrglsResult:
+                       convergence_epsilon: float = 1e-3,
+                       solve_floor: float = 1e-3) -> PrglsResult:
     """``trackerlite.prgls_with_two_ref`` (:309-358): fit the motion field on
     (ptrs_ref -> ptrs_tgt) guided by ``init_match`` and apply it to the
     confirmed set ``tracked_ref`` via the cross Gram matrix.
@@ -66,13 +67,20 @@ def prgls_with_two_ref(init_match: jax.Array,
     the ref-movement norm drops below 1e-3 (:353-356), iteration count runs
     1..max_iteration-1 (:328).
 
-    f32 note: the reference runs float64; when sigma^2 collapses, the
-    M-step system's condition number exceeds f32 range and the movement
-    norm plateaus above the 1e-3 threshold instead of crossing it (SURVEY
-    §7 hard part d).  A stagnation stop (``stall_limit`` iterations without
-    the norm improving below 99% of its best) halts the loop at the f32
-    noise floor — the point where the f64 reference would have converged —
-    instead of burning the full ``max_iteration`` budget.
+    f32 note (``solve_floor``): the reference runs float64.  As the EM
+    converges, sigma^2 collapses toward the squared measurement noise and
+    the M-step system A = G.diag(P1) + lambda sigma^2 I reaches condition
+    numbers ~|A|/(lambda sigma^2) of 1e6-1e7; at f32 (eps 6e-8) the solve
+    then returns garbage coefficients and the EM *diverges* — on real
+    150-cell priors the tracked error becomes worse than identity.  Since
+    inputs are PCA-normalized (cloud scale ~1, ``ffn.py:330``), flooring
+    the regularizer at ``max(lambda sigma^2, solve_floor)`` caps the
+    condition number at ~1e5, which f32 solves accurately.  The floor only
+    stiffens the motion-field smoothing near convergence (the E-step keeps
+    the true sigma^2): measured drift vs the float64 reference is <0.05
+    voxel while restoring the reference's ~13-iteration convergence.  A
+    stagnation stop (``stall_limit`` iterations without the movement norm
+    improving below 99% of its best) remains as a safety net.
     """
     m, n = init_match.shape
     if tgt_mask is None:
@@ -114,7 +122,8 @@ def prgls_with_two_ref(init_match: jax.Array,
 
     def m_step(post, pred_ref, sigma_sq):
         p1 = jnp.sum(post, axis=0)                       # (n,)
-        coeff = gram_nn * p1[None, :] + lambda_ * sigma_sq * eye
+        s_eff = jnp.maximum(lambda_ * sigma_sq, solve_floor)
+        coeff = gram_nn * p1[None, :] + s_eff * eye
         dep = ptrs_tgt.T @ post - pred_ref.T * p1[None, :]   # (3, n)
         c = jnp.linalg.solve(coeff.T, dep.T).T            # (3, n)
         return c
@@ -180,13 +189,15 @@ def prgls_quick(init_match: jax.Array,
                 max_iteration: int = 2000,
                 tgt_mask: Optional[jax.Array] = None,
                 ref_mask: Optional[jax.Array] = None,
-                vol: float = 1.0) -> PrglsResult:
+                vol: float = 1.0,
+                solve_floor: float = 1e-3) -> PrglsResult:
     """``trackerlite.prgls_quick`` (:262-306): the single-reference variant —
     the motion field is both fit on and applied to ``tracked_ref``."""
     return prgls_with_two_ref(init_match, ptrs_tgt, tracked_ref, tracked_ref,
                               beta=beta, lambda_=lambda_,
                               max_iteration=max_iteration,
-                              tgt_mask=tgt_mask, ref_mask=ref_mask, vol=vol)
+                              tgt_mask=tgt_mask, ref_mask=ref_mask, vol=vol,
+                              solve_floor=solve_floor)
 
 
 class LegacyPrglsResult(NamedTuple):

@@ -1,191 +1,217 @@
-"""Benchmark harness: end-to-end (segmentation + tracking) throughput on
-real TPU hardware.
+"""Benchmark harness: SHIPPED-pipeline throughput on real TPU hardware.
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 
-North-star metric (BASELINE.json): 3-D volumes/sec for the full per-volume
-pipeline at worm1 demo scale (SURVEY §6): complete StarDist3D instance
-segmentation (backbone, sparse gather, polyhedron NMS, label rendering) on a
-(168, 401) x 24-slice raw volume (z_xy_ratio 9.2 — the (168,401,128)-class
-extent in BASELINE.md counts interpolated slices), FFN + PR-GLS tracking of
-~150 cells, and the accurate-correction loop.  The reference publishes no
-absolute numbers; vs_baseline uses the driver-set estimate of the
-RTX-3080Ti TF pipeline at ~0.2 vol/s end-to-end (GPU inference + host NumPy
-tracking), so vs_baseline = value / 0.2.
+What is measured (the actual entry points a user calls, per VERDICT r1 #3):
+  1. ``engine.stardist.predict_and_save``  — segment a worm1-scale
+     recording from per-(t,z) uint16 TIFFs on disk into ``seg/`` artifacts
+     (prefetch thread -> raw uint16 upload -> fused device pipeline ->
+     saver thread), and
+  2. ``engine.pipeline.track_timelapse``   — FFN + PR-GLS + accurate
+     correction + boundary recalculation over the ``seg/`` artifacts with
+     a briefly-trained FFN, writing coords npy + label TIFFs.
 
-Timing: iterations are queued back-to-back on device and synchronized with
-one final scalar fetch (block_until_ready is unreliable through the remote
-TPU tunnel).
+Recording: 10 timed volumes of (z=24, y=401, x=168) uint16 with ~150
+drifting cells (worm1 demo scale: voxel_size (1,1,9.2), 96 rays,
+grid (1,2,2), beta=lambda=3 — SURVEY §6).  Segmentation throughput is
+weight-independent (fixed shapes end-to-end), so the StarDist net runs
+with random init; the tracking stage needs *converging* EM behavior, so
+seg/ coords+prob artifacts are replaced with ground-truth-derived ones
+(jittered centers, gaussian prob) and the FFN is trained for a few
+hundred steps on the vol-1 cloud — mirroring production inputs.
+
+Each stage runs twice: the first pass warms compiles (persistent cache)
+and writes artifacts, the second is timed wall-clock including host I/O,
+transfers, and the async pipelines.  vs_baseline uses the driver-set
+estimate of the reference TF pipeline on its validated RTX-3080Ti at
+~0.2 vol/s end-to-end; measured single-core CPU stage times for the
+actual reference code are recorded in BASELINE.md ("Measured" section).
 """
 
 import json
+import shutil
 import sys
+import tempfile
 import time
 from pathlib import Path
 
 sys.path.insert(0, str(Path(__file__).parent))
 
 import numpy as np
-import jax
-import jax.numpy as jnp
 
 from t3dct.utils.cache import enable_compilation_cache
 
 enable_compilation_cache()
 
-VOL_XYZ = (168, 401, 128)        # worm1-class (x, y, z), SURVEY §6
+Z, Y, X = 24, 401, 168           # raw volume (z, y, x), worm1 class
 N_CELLS = 150
-MAX_CELLS = 192
-REFERENCE_VOLS_PER_SEC = 0.2     # estimated TF/3080Ti end-to-end
+N_VOLS = 21                      # t=1 + 20 timed volumes
+GRID = (1, 2, 2)
+VOXEL_SIZE = (1.0, 1.0, 9.2)
+REFERENCE_VOLS_PER_SEC = 0.2     # driver-set TF/3080Ti e2e estimate
 
 
-def _timeit(fn, n_iters=5):
-    out = fn()
-    _ = float(jax.device_get(jnp.sum(out)))   # compile + sync
-    t0 = time.perf_counter()
-    for _ in range(n_iters):
-        out = fn()
-    _ = float(jax.device_get(jnp.sum(out)))
-    return (time.perf_counter() - t0) / n_iters
+def make_recording(raw_dir: Path):
+    """Synthetic worm recording: N_CELLS gaussian cells drifting smoothly,
+    saved as per-(t,z) uint16 TIFF slices.  Returns (images_path pattern,
+    {t: centers (n,3) zyx}, vol-1 labels (z,y,x))."""
+    from t3dct.io.imageio import save_label_slices
 
-
-def bench_stardist_seg():
-    """Full instance segmentation: backbone + sparse gather + polyhedron
-    NMS + label rendering (the complete per-volume device pipeline)."""
-    from t3dct.config import StarDistConfig
-    from t3dct.engine.stardist import StarDist3D
-
-    cfg = StarDistConfig(n_rays=96, grid=(1, 2, 2),
-                         anisotropy=(9.2, 1.0, 1.0))
-    # render box sized to worm cells (z thin at anisotropy 9.2; xy radius
-    # <= 16) — the box is the user's size knob, like stardist's bbox
-    model = StarDist3D(cfg, max_candidates=256, render_box=(9, 33, 33))
-    # model frame is (z, y, x); worm z-slices ~ VOL_XYZ[2]/grid physical
-    z, y, x = 24, VOL_XYZ[1], VOL_XYZ[0]
-    vol = np.asarray(jax.random.uniform(jax.random.PRNGKey(1), (z, y, x),
-                                        jnp.float32))
-
-    def run():
-        out = model._predict_instances_device(vol)
-        return out[5]  # labels
-
-    return _timeit(run)
-
-
-def bench_track_step():
-    """FFN scoring + matching + PR-GLS at worm scale.
-
-    A randomly initialized FFN produces garbage matches that keep the EM
-    at its 2000-iteration cap — never the production behavior (the
-    reference converges at ~1e-3 within tens of iterations on real data,
-    trackerlite.py:301-304).  So scoring/matching are timed with the raw
-    net and the EM with a production-like prior (correct correspondences,
-    smooth deformation).
-    """
-    from t3dct.engine.tracker import track_step
-    from t3dct.models.ffn import FFN, ffn_pair_scores
-    from t3dct.ops.knn import knn_feature_vectors
-    from t3dct.ops.matching import simple_match
-    from t3dct.ops.pointset import normalize_points
-    from t3dct.ops.prgls import prgls_with_two_ref
-
-    params, state = FFN().init(jax.random.PRNGKey(2))
     rng = np.random.RandomState(0)
-    pts1 = np.full((MAX_CELLS, 3), 1e6, np.float32)
-    pts2 = np.full((MAX_CELLS, 3), 1e6, np.float32)
-    base = rng.rand(N_CELLS, 3).astype(np.float32) * \
-        np.asarray([168, 401, 128 * 9.2], np.float32)
-    # smooth deformation + permutation, like a real volume pair
-    moved = base + 3.0 * np.sin(base[:, [1, 2, 0]] / 40.0).astype(np.float32)
-    perm = rng.permutation(N_CELLS)
-    pts1[:N_CELLS] = base
-    pts2[:N_CELLS] = moved[perm]
-    mask = np.arange(MAX_CELLS) < N_CELLS
-    m = jnp.asarray(mask)
-    p1, p2 = jnp.asarray(pts1), jnp.asarray(pts2)
-    confirmed = jnp.asarray(base)
+    centers = []
+    while len(centers) < N_CELLS:
+        c = np.array([rng.uniform(4, Z - 4), rng.uniform(12, Y - 12),
+                      rng.uniform(12, X - 12)])
+        if all((abs(c[0] - o[0]) > 2.5) or (np.hypot(c[1] - o[1],
+                                                     c[2] - o[2]) > 9)
+               for o in centers):
+            centers.append(c)
+    centers0 = np.asarray(centers, np.float32)
 
-    # stage 1: normalize + features + all-pairs scores + greedy match
-    @jax.jit
-    def score_and_match(params, state, confirmed, p1, p2):
-        _, (mean, scale) = normalize_points(confirmed)
-        t1n = (p1 - mean) / scale
-        t2n = (p2 - mean) / scale
-        f1 = knn_feature_vectors(t1n, m, 20)
-        f2 = knn_feature_vectors(t2n, m, 20)
-        scores = ffn_pair_scores(params, state, f1, f2)
-        prior, _ = simple_match(scores, 0.1, ref_mask=m, tgt_mask=m)
-        return prior, t1n, t2n, mean, scale
-
-    t_score = _timeit(lambda: score_and_match(params, state, confirmed,
-                                              p1, p2)[0])
-
-    # stage 2: PR-GLS with a correct-correspondence prior
-    prior = np.zeros((MAX_CELLS, MAX_CELLS), np.float32)
-    prior[:N_CELLS, :N_CELLS] = 0.1 / (N_CELLS - 1)
-    for new_i, old_i in enumerate(perm):
-        prior[new_i, old_i] = 0.9
-    _, t1n, t2n, mean, scale = score_and_match(params, state, confirmed,
-                                               p1, p2)
-    cn = (confirmed - mean) / scale
-    prior_j = jnp.asarray(prior)
-
-    @jax.jit
-    def em(prior_j, t1n, t2n, cn):
-        return prgls_with_two_ref(prior_j, t2n, t1n, cn, beta=3.0,
-                                  lambda_=3.0, tgt_mask=m,
-                                  ref_mask=m).tracked
-
-    t_em = _timeit(lambda: em(prior_j, t1n, t2n, cn))
-    return t_score + t_em
+    zz = np.arange(Z, dtype=np.float32)
+    sig = np.array([1.1, 3.0, 3.0], np.float32)
+    centers_by_t = {}
+    images_path = str(raw_dir / "raw_t%03i_z*.tif")
+    lab1 = np.zeros((Z, Y, X), np.int32)
+    for t in range(1, N_VOLS + 1):
+        # smooth, invertible-ish deformation
+        ph = 0.35 * (t - 1)
+        c = centers0.copy()
+        c[:, 1] += 2.5 * np.sin(centers0[:, 2] / 30.0 + ph)
+        c[:, 2] += 2.5 * np.cos(centers0[:, 1] / 35.0 + ph)
+        c[:, 0] += 0.3 * np.sin(centers0[:, 1] / 50.0 + ph)
+        centers_by_t[t] = c
+        img = rng.rand(Z, Y, X).astype(np.float32) * 0.06
+        for i, (cz, cy, cx) in enumerate(c):
+            z0, z1 = max(0, int(cz) - 4), min(Z, int(cz) + 5)
+            y0, y1 = max(0, int(cy) - 10), min(Y, int(cy) + 11)
+            x0, x1 = max(0, int(cx) - 10), min(X, int(cx) + 11)
+            lz = (zz[z0:z1] - cz) / sig[0]
+            ly = (np.arange(y0, y1) - cy) / sig[1]
+            lx = (np.arange(x0, x1) - cx) / sig[2]
+            g = np.exp(-0.5 * (lz[:, None, None] ** 2 + ly[None, :, None]
+                               ** 2 + lx[None, None, :] ** 2))
+            img[z0:z1, y0:y1, x0:x1] += g
+            if t == 1:
+                d2 = (lz[:, None, None] ** 2 + ly[None, :, None] ** 2
+                      + lx[None, None, :] ** 2)
+                lab1[z0:z1, y0:y1, x0:x1] = np.where(
+                    d2 < 1.2 ** 2, i + 1, lab1[z0:z1, y0:y1, x0:x1])
+        img16 = (img / img.max() * 50000).astype(np.uint16)
+        save_label_slices(img16.transpose(1, 2, 0), raw_dir,
+                          "raw_t%03i_z%04i.tif", t, use_8_bit=False,
+                          compression=None)
+    return images_path, centers_by_t, lab1
 
 
-def bench_correction():
-    from t3dct.engine.correction import accurate_correction_loop
-    from t3dct.ops.subregions import build_subregion_atlas
+def write_gt_seg_artifacts(results: Path, centers_by_t):
+    """Replace seg/ artifacts with ground-truth-derived ones so the
+    tracking stage sees production-like (converging) inputs."""
+    from t3dct.io.artifacts import ResultsTree
 
+    tree = ResultsTree(results)
     rng = np.random.RandomState(1)
-    x, y, z = 168, 401, 24     # interp factor handles the z stretch
-    lab = np.zeros((x, y, z), np.int32)
-    centers = np.stack([rng.randint(8, x - 8, N_CELLS),
-                        rng.randint(8, y - 8, N_CELLS),
-                        rng.randint(3, z - 3, N_CELLS)], 1)
-    for i, (cx, cy, cz) in enumerate(centers):
-        lab[cx - 3:cx + 3, cy - 3:cy + 3, cz - 1:cz + 2] = i + 1
-    atlas = build_subregion_atlas(jnp.asarray(lab), n_cells=N_CELLS,
-                                  box_shape=(8, 8, 4),
-                                  interpolation_factor=5)
-    # realistic probability map: mass concentrated at the cells, so the
-    # correction converges like production data instead of hitting the cap
-    prob_np = rng.rand(x, y, z).astype(np.float32) * 0.05
-    prob_np += (lab > 0) * 0.9
-    prob = jnp.asarray(prob_np)
-    vol1 = jnp.asarray(centers.astype(np.float32))
-    start = vol1 + jnp.asarray(rng.randn(N_CELLS, 3).astype(np.float32))
-    boundary = jnp.zeros(N_CELLS, bool)
+    gz, gy, gx = Z // GRID[0], -(-Y // GRID[1]), -(-X // GRID[2])
+    zz = np.arange(gz, dtype=np.float32)[:, None, None] * GRID[0]
+    yy = np.arange(gy, dtype=np.float32)[None, :, None] * GRID[1]
+    xx = np.arange(gx, dtype=np.float32)[None, None, :] * GRID[2]
+    for t, c in centers_by_t.items():
+        jitter = rng.randn(*c.shape).astype(np.float32) * 0.25
+        pts = c + jitter
+        tree.save_seg_coords(t, pts[:, [1, 2, 0]])       # (y, x, z)
+        prob = np.zeros((gz, gy, gx), np.float32)
+        for cz, cy, cx in pts:
+            prob = np.maximum(prob, np.exp(
+                -0.5 * (((zz - cz) / 1.3) ** 2 + ((yy - cy) / 3.5) ** 2
+                        + ((xx - cx) / 3.5) ** 2)).astype(np.float32))
+        tree.save_seg_prob(t, prob.transpose(1, 2, 0))   # (x, y, z) frame
+
+
+def bench_seg(images_path, results: Path):
+    from t3dct.config import StarDistConfig
+    from t3dct.engine.stardist import StarDist3D, predict_and_save
+
+    cfg = StarDistConfig(n_rays=96, grid=GRID, anisotropy=(9.2, 1.0, 1.0))
+    model = StarDist3D(cfg, max_candidates=256, render_box=(9, 33, 33))
+    # pass 1: compile warm-up + artifact creation
+    predict_and_save(images_path, model, results)
+    # pass 2: timed, end-to-end (decode, percentiles, upload, fused device
+    # pipeline, artifact writes) over all N_VOLS volumes
+    t0 = time.perf_counter()
+    predict_and_save(images_path, model, results)
+    dt = time.perf_counter() - t0
+    return dt / N_VOLS
+
+
+def bench_track(results: Path, lab1):
+    from t3dct.config import TrackingConfig
+    from t3dct.engine.pipeline import track_timelapse
+    from t3dct.io.imageio import save_label_slices
+    from t3dct.models.train_ffn import TrainFFN
+
+    save_label_slices(lab1.transpose(1, 2, 0), results / "manual_vol1",
+                      "manual_vol1_z%04i_t%04i.tif", 0, use_8_bit=False,
+                      compression=None)
+    # brief FFN training on the vol-1 cloud (real frame: (y, x, z*ratio))
+    coords1 = np.load(results / "seg" / "coords000001.npy").astype(
+        np.float32)
+    cloud = coords1 * np.array([1.0, 1.0, VOXEL_SIZE[2]], np.float32)
+    pts_file = results / "pts.txt"
+    np.savetxt(pts_file, cloud)
+    ffn_tr = TrainFFN("ffn", points1_path=str(pts_file),
+                      basedir=results / "ffn", seed=0)
+    ffn_tr.train(num_epochs=1, iteration=600, verbose=False)
 
     def run():
-        coords, labels, overlap, it = accurate_correction_loop(
-            atlas, vol1, start, prob, boundary, max_repetition=20)
-        return coords
+        return track_timelapse(
+            results, str(results / "manual_vol1" / "*.tif"),
+            (ffn_tr.params, ffn_tr.bn_state),
+            voxel_size=VOXEL_SIZE, interpolation_factor=10,
+            t_range=(1, N_VOLS), grid=GRID,
+            config=TrackingConfig(beta=3.0, lambda_=3.0),
+            verbose=False)
 
-    return _timeit(run)
+    run()                       # pass 1: compiles
+    t0 = time.perf_counter()
+    coords_by_t = run()         # pass 2: timed
+    dt = time.perf_counter() - t0
+    # sanity: tracked t=N stays near the drifted ground truth.  Tracked
+    # row i follows vol-1 cell i whose label id was re-assigned by
+    # connected-component relabeling, so anchor the GT row mapping at t=1
+    # by nearest neighbor.
+    sc = np.array([1.0, 1.0, VOXEL_SIZE[2]])
+    gt1 = np.load(results / "seg" / "coords000001.npy") * sc
+    gtN = np.load(results / "seg" / ("coords%06d.npy" % N_VOLS)) * sc
+    perm = np.linalg.norm(coords_by_t[1][:, None] - gt1[None, :],
+                          axis=2).argmin(1)
+    err = np.linalg.norm(coords_by_t[N_VOLS] - gtN[perm], axis=1)
+    return dt / (N_VOLS - 1), float(np.median(err))
 
 
 def main():
-    t_seg = bench_stardist_seg()
-    t_track = bench_track_step()
-    t_corr = bench_correction()
-    total = t_seg + t_track + t_corr
-    vols_per_sec = 1.0 / total
-    print(json.dumps({
-        "metric": "e2e_seg_track_volumes_per_sec",
-        "value": round(vols_per_sec, 4),
-        "unit": (f"volumes/sec worm1-scale (StarDist {t_seg * 1e3:.0f}ms + "
-                 f"track {t_track * 1e3:.0f}ms + "
-                 f"correction {t_corr * 1e3:.0f}ms)"),
-        "vs_baseline": round(vols_per_sec / REFERENCE_VOLS_PER_SEC, 2),
-    }))
+    work = Path(tempfile.mkdtemp(prefix="t3dct_bench_"))
+    try:
+        raw_dir = work / "raw"
+        raw_dir.mkdir(parents=True)
+        results = work / "results"
+        images_path, centers_by_t, lab1 = make_recording(raw_dir)
+        t_seg = bench_seg(images_path, results)
+        write_gt_seg_artifacts(results, centers_by_t)
+        t_track, med_err = bench_track(results, lab1)
+        total = t_seg + t_track
+        vols_per_sec = 1.0 / total
+        print(json.dumps({
+            "metric": "e2e_pipeline_volumes_per_sec",
+            "value": round(vols_per_sec, 4),
+            "unit": (f"volumes/sec, shipped predict_and_save + "
+                     f"track_timelapse, worm1 scale on disk "
+                     f"(seg {t_seg * 1e3:.0f}ms + track {t_track * 1e3:.0f}"
+                     f"ms per volume, wall incl. host I/O + transfers; "
+                     f"tracking median err {med_err:.2f})"),
+            "vs_baseline": round(vols_per_sec / REFERENCE_VOLS_PER_SEC, 2),
+        }))
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
 
 
 if __name__ == "__main__":
