@@ -85,6 +85,7 @@ class StarDistConfig:
     unet_n_depth: int = 2
     unet_pool: Tuple[int, int, int] = (2, 2, 2)
     unet_n_filter_base: int = 32
+    unet_n_conv_per_depth: int = 2
     unet_kernel_size: Tuple[int, int, int] = (3, 3, 3)
     net_conv_after_unet: int = 128
     n_channel_in: int = 1

@@ -190,12 +190,20 @@ class Tracker:
             (self.x_siz, self.y_siz, self.z_siz), max_cells=self.max_cells)
 
     def load_unet(self):
-        """Load a pretrained U-Net checkpoint (.npz from TrainingUNet3D)."""
-        self.unet_model = get_unet(self.unet_variant)
-        template = self.unet_model.init(jax.random.PRNGKey(0))
-        self.unet_params, self.unet_bn_state = load_pytree(
-            template, os.path.join(self.paths.models,
-                                   self.paths.unet_model_file))
+        """Load a pretrained U-Net checkpoint — either this framework's
+        .npz (TrainingUNet3D) or the reference's Keras .h5
+        (``tracker.py:579`` load_model / ``:991`` load_weights), imported
+        via ``utils.keras_import``."""
+        path = os.path.join(self.paths.models, self.paths.unet_model_file)
+        if path.endswith(".h5"):
+            from ..utils.keras_import import import_unet3
+            self.unet_model, self.unet_params, self.unet_bn_state = \
+                import_unet3(path, self.unet_variant)
+        else:
+            self.unet_model = get_unet(self.unet_variant)
+            template = self.unet_model.init(jax.random.PRNGKey(0))
+            self.unet_params, self.unet_bn_state = load_pytree(
+                template, path)
         save_pytree((self.unet_params, self.unet_bn_state),
                     os.path.join(self.paths.unet_weights,
                                  "weights_initial.npz"))
@@ -209,10 +217,15 @@ class Tracker:
         self._build_segmenter()
 
     def load_ffn(self):
-        template = FFN().init(jax.random.PRNGKey(0))
-        self.ffn_params, self.ffn_state = load_pytree(
-            template, os.path.join(self.paths.models,
-                                   self.paths.ffn_model_file))
+        """Accepts .npz (this framework) or the reference's Keras .h5
+        weights (``tracker.py:1121``, ``ffn.py:211-220``)."""
+        path = os.path.join(self.paths.models, self.paths.ffn_model_file)
+        if path.endswith(".h5"):
+            from ..utils.keras_import import import_ffn
+            self.ffn_params, self.ffn_state = import_ffn(path)
+        else:
+            template = FFN().init(jax.random.PRNGKey(0))
+            self.ffn_params, self.ffn_state = load_pytree(template, path)
         print("Loaded the FFN model")
 
     def load_ffn_arrays(self, params, state):

@@ -45,9 +45,11 @@ class StarDist3D:
     def __init__(self, config: StarDistConfig,
                  params=None, rng: Optional[jax.Array] = None,
                  max_candidates: int = 1024,
-                 render_box: Tuple[int, int, int] = (33, 65, 65)):
+                 render_box: Tuple[int, int, int] = (33, 65, 65),
+                 arch: str = "tpu"):
         self.config = config
-        self.net = StarDist3DNet(config)
+        self.arch = arch
+        self.net = StarDist3DNet(config, arch=arch)
         if params is None:
             params = self.net.init(
                 rng if rng is not None else jax.random.PRNGKey(0))
@@ -72,8 +74,9 @@ class StarDist3D:
         model_dir.mkdir(parents=True, exist_ok=True)
         save_pytree(self.params, model_dir / "weights.npz")
         import json
+        cfg = dict(dataclasses.asdict(self.config), arch=self.arch)
         with open(model_dir / "config.json", "w") as fh:
-            json.dump(dataclasses.asdict(self.config), fh, indent=2)
+            json.dump(cfg, fh, indent=2)
 
     @staticmethod
     def load(model_dir: Union[str, Path]) -> "StarDist3D":
@@ -81,12 +84,13 @@ class StarDist3D:
         model_dir = Path(model_dir)
         with open(model_dir / "config.json") as fh:
             raw = json.load(fh)
+        arch = raw.pop("arch", "tpu")
         for key in ("grid", "anisotropy", "unet_pool", "unet_kernel_size",
                     "train_patch_size"):
             if key in raw and raw[key] is not None:
                 raw[key] = tuple(raw[key])
         config = StarDistConfig(**raw)
-        model = StarDist3D(config)
+        model = StarDist3D(config, arch=arch)
         model.params = load_pytree(model.params, model_dir / "weights.npz")
         return model
 
@@ -235,10 +239,55 @@ class StarDist3D:
 
 def load_stardist_model(model_name: str = "stardist",
                         basedir: str = "stardist_models") -> StarDist3D:
-    """``stardistwrapper.load_stardist_model`` (:39-43)."""
-    model = StarDist3D.load(Path(basedir) / model_name)
+    """``stardistwrapper.load_stardist_model`` (:39-43).
+
+    Accepts BOTH model-folder formats: this framework's (``weights.npz`` +
+    our config.json) and the reference's stardist-0.8 folders
+    (``config.json`` written by Config3D, ``thresholds.json``,
+    ``weights_best.h5``/``weights_last.h5``) — the latter via
+    ``utils.keras_import``, running the checkpoint bit-faithfully with
+    ``arch="keras"``."""
+    model_dir = Path(basedir) / model_name
+    if (model_dir / "weights.npz").exists():
+        model = StarDist3D.load(model_dir)
+    else:
+        model = load_stardist_keras_dir(model_dir)
     print(f"Load pretrained stardist model '{model_name}' "
           f"from folder '{basedir}'")
+    return model
+
+
+def load_stardist_keras_dir(model_dir: Union[str, Path]) -> StarDist3D:
+    """Load a reference/stardist-0.8 Keras model folder
+    (``stardistwrapper.py:39-43``): Config3D ``config.json``, optimized
+    ``thresholds.json`` and a Keras ``.h5`` checkpoint."""
+    import json
+
+    from ..utils.keras_import import (import_stardist3d,
+                                      stardist_config_from_json)
+
+    model_dir = Path(model_dir)
+    config = stardist_config_from_json(model_dir / "config.json")
+    weights = None
+    for name in ("weights_best.h5", "weights_last.h5", "weights_now.h5"):
+        if (model_dir / name).exists():
+            weights = model_dir / name
+            break
+    if weights is None:
+        cands = sorted(model_dir.glob("*.h5"))
+        if not cands:
+            raise FileNotFoundError(f"no .h5 checkpoint in {model_dir}")
+        weights = cands[0]
+    params = import_stardist3d(weights, config)
+    model = StarDist3D(config, params=params, arch="keras")
+    thresh_file = model_dir / "thresholds.json"
+    if thresh_file.exists():
+        with open(thresh_file) as fh:
+            raw = json.load(fh)
+        model._thresholds = dict(prob=float(raw.get("prob",
+                                                    config.prob_thresh)),
+                                 nms=float(raw.get("nms",
+                                                   config.nms_thresh)))
     return model
 
 

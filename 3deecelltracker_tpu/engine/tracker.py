@@ -122,10 +122,15 @@ class TrackerLite:
         self.miss_frame = [] if miss_frame is None else miss_frame
 
         if isinstance(ffn_weights, (str, Path)):
-            ffn = FFN()
-            template = ffn.init(jax.random.PRNGKey(0))
-            self.ffn_params, self.ffn_state = load_pytree(
-                template, ffn_weights)
+            if str(ffn_weights).endswith(".h5"):
+                # reference Keras checkpoint (trackerlite.py:63)
+                from ..utils.keras_import import import_ffn
+                self.ffn_params, self.ffn_state = import_ffn(ffn_weights)
+            else:
+                ffn = FFN()
+                template = ffn.init(jax.random.PRNGKey(0))
+                self.ffn_params, self.ffn_state = load_pytree(
+                    template, ffn_weights)
         else:
             self.ffn_params, self.ffn_state = ffn_weights
 

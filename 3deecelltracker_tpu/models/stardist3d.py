@@ -29,10 +29,77 @@ Params = Dict[str, Any]
 
 @dataclasses.dataclass(frozen=True)
 class StarDist3DNet:
+    """``arch`` selects the backbone topology:
+
+    - ``"tpu"`` (default): the TPU-first redesign — grid subsampling as a
+      max-pool BEFORE the stem so the expensive C_in=1 full-resolution conv
+      never runs, symmetric filter counts, conv-after-concat up path.
+    - ``"keras"``: exact topological parity with the Keras model the
+      reference wraps (stardist 0.8 ``models/model3d.py::StarDist3D._build``
+      + csbdeep ``internals/blocks.py::unet_block``): pre-grid conv blocks
+      at full resolution followed by grid pooling, csbdeep's filter
+      schedule (last conv of the middle/up blocks at half width), and
+      upsample->concat->conv up path.  Needed so pretrained reference
+      checkpoints imported via ``utils/keras_import`` reproduce the TF
+      model's outputs exactly.
+    """
     config: StarDistConfig
+    arch: str = "tpu"
+
+    # ---- keras-parity layer plan -----------------------------------------
+    def _keras_pools(self):
+        """Pooling steps that bring full resolution down to ``grid``
+        (stardist model3d: ``pool = 1 + (grid > pooled)`` loop)."""
+        grid = tuple(self.config.grid)
+        pooled = (1, 1, 1)
+        pools = []
+        while pooled != grid:
+            pool = tuple(2 if g > p else 1 for g, p in zip(grid, pooled))
+            pooled = tuple(p * q for p, q in zip(pooled, pool))
+            pools.append(pool)
+        return pools
+
+    def _keras_plan(self):
+        """Ordered (name, c_in, c_out, kernel) conv specs in Keras creation
+        order — the order weights appear in a saved .h5."""
+        cfg = self.config
+        base, k = cfg.unet_n_filter_base, tuple(cfg.unet_kernel_size)
+        ncv, depth = cfg.unet_n_conv_per_depth, cfg.unet_n_depth
+        plan = []
+        c = cfg.n_channel_in
+        for step, _pool in enumerate(self._keras_pools()):
+            for i in range(ncv):
+                plan.append((f"pre{step}_{i}", c, base, k))
+                c = base
+        for n in range(depth):
+            for i in range(ncv):
+                plan.append((f"down{n}_{i}", c, base * 2 ** n, k))
+                c = base * 2 ** n
+        for i in range(ncv - 1):
+            plan.append((f"middle{i}", c, base * 2 ** depth, k))
+            c = base * 2 ** depth
+        plan.append((f"middle{ncv - 1}", c, base * 2 ** max(0, depth - 1), k))
+        c = base * 2 ** max(0, depth - 1)
+        for n in reversed(range(depth)):
+            c = c + base * 2 ** n            # concat with the level-n skip
+            for i in range(ncv - 1):
+                plan.append((f"up{n}_{i}", c, base * 2 ** n, k))
+                c = base * 2 ** n
+            plan.append((f"up{n}_{ncv - 1}", c, base * 2 ** max(0, n - 1), k))
+            c = base * 2 ** max(0, n - 1)
+        plan.append(("features", c, cfg.net_conv_after_unet, k))
+        plan.append(("prob_head", cfg.net_conv_after_unet, 1, (1, 1, 1)))
+        plan.append(("dist_head", cfg.net_conv_after_unet, cfg.n_rays,
+                     (1, 1, 1)))
+        return plan
 
     def init(self, key: jax.Array) -> Params:
         cfg = self.config
+        if self.arch == "keras":
+            keys = jax.random.split(key, 64)
+            return {name: L.init_conv3d(keys[i], kernel, cin, cout)
+                    for i, (name, cin, cout, kernel)
+                    in enumerate(self._keras_plan())}
         keys = iter(jax.random.split(key, 32))
         f = cfg.unet_n_filter_base
         k = cfg.unet_kernel_size
@@ -72,6 +139,9 @@ class StarDist3DNet:
         def conv(name, h):
             return act(L.conv3d(params[name], h, compute_dtype))
 
+        if self.arch == "keras":
+            return self._apply_keras(params, x, compute_dtype)
+
         # grid subsampling happens BEFORE the stem (like stardist's pooled
         # input): the C_in=1 full-resolution conv is the single most
         # expensive op otherwise (poor MXU packing at 1 input channel)
@@ -92,6 +162,43 @@ class StarDist3DNet:
             h = jnp.concatenate([h, skips[lvl].astype(h.dtype)], axis=-1)
             h = conv(f"up{lvl}_0", h)
             h = conv(f"up{lvl}_1", h)
+        feat = conv("features", h)
+        prob = jax.nn.sigmoid(L.conv3d(params["prob_head"], feat,
+                                       compute_dtype))
+        dist = L.conv3d(params["dist_head"], feat, compute_dtype)
+        return prob, dist
+
+    def _apply_keras(self, params: Params, x: jax.Array,
+                     compute_dtype=jnp.float32
+                     ) -> Tuple[jax.Array, jax.Array]:
+        """Keras-parity forward (stardist 0.8 model3d + csbdeep unet_block
+        semantics; same (prob, dist)-at-grid-resolution contract as the TPU
+        arch)."""
+        cfg = self.config
+        act = jax.nn.relu
+
+        def conv(name, h):
+            return act(L.conv3d(params[name], h, compute_dtype))
+
+        ncv, depth = cfg.unet_n_conv_per_depth, cfg.unet_n_depth
+        h = x
+        for step, pool in enumerate(self._keras_pools()):
+            for i in range(ncv):
+                h = conv(f"pre{step}_{i}", h)
+            h = L.max_pool3d(h, pool)
+        skips = []
+        for n in range(depth):
+            for i in range(ncv):
+                h = conv(f"down{n}_{i}", h)
+            skips.append(h)
+            h = L.max_pool3d(h, cfg.unet_pool)
+        for i in range(ncv):
+            h = conv(f"middle{i}", h)
+        for n in reversed(range(depth)):
+            h = L.upsample3d(h, cfg.unet_pool)
+            h = jnp.concatenate([h, skips[n].astype(h.dtype)], axis=-1)
+            for i in range(ncv):
+                h = conv(f"up{n}_{i}", h)
         feat = conv("features", h)
         prob = jax.nn.sigmoid(L.conv3d(params["prob_head"], feat,
                                        compute_dtype))
@@ -130,7 +237,14 @@ def sparse_candidates(prob: jax.Array, dist: jax.Array,
                 & (xx >= b) & (xx < gx - b)) if b else \
         jnp.ones(prob.shape, bool)
     masked = jnp.where(interior, prob, -jnp.inf).reshape(-1)
-    top_p, top_idx = jax.lax.top_k(masked, max_candidates)
+    # volumes smaller than the candidate budget: take everything, pad the
+    # result back to the static max_candidates shape with invalid slots
+    k = min(max_candidates, masked.size)
+    top_p, top_idx = jax.lax.top_k(masked, k)
+    if k < max_candidates:
+        top_p = jnp.pad(top_p, (0, max_candidates - k),
+                        constant_values=-jnp.inf)
+        top_idx = jnp.pad(top_idx, (0, max_candidates - k))
     valid = top_p > prob_thresh
     pts = jnp.stack([top_idx // (gy * gx),
                      (top_idx // gx) % gy,
