@@ -236,6 +236,199 @@ class StarDist3D:
         return self._finalize_instances(self._predict_instances_device(
             x, prob_thresh, nms_thresh, return_labels))
 
+    # ---- tiled prediction (large volumes) ----------------------------------
+    def _get_tile_program(self, tiles, shr, vol, k_tile):
+        """Per-tile program: backbone -> center crop -> local candidate
+        top-k with GLOBAL border/range semantics (traced tile origin)."""
+        key = ("tile", tiles, shr, vol, k_tile)
+        fn = self._fused.get(key)
+        if fn is not None:
+            return fn
+        cfg, net = self.config, self.net
+        grid = tuple(cfg.grid)
+        n_rays = cfg.n_rays
+        c_g = tuple((t - 2 * s) // g for t, s, g in zip(tiles, shr, grid))
+        s_g = tuple(s // g for s, g in zip(shr, grid))
+        # interior test on the same grid the WHOLE-volume path uses
+        # (volume padded to div_by), so border exclusion matches exactly
+        gdim = tuple((-(-v // d) * d) // g
+                     for v, d, g in zip(vol, net.div_by, grid))
+        b = 2  # sparse_candidates border default
+
+        @jax.jit
+        def prog(params, tile, mi, ma, origin_g, prob_thresh):
+            xn = (tile.astype(jnp.float32) - mi) / (ma - mi + 1e-20)
+            prob_g, dist_g = net.apply(params, xn[None, ..., None])
+            prob_c = jax.lax.dynamic_slice(prob_g[0, ..., 0], s_g, c_g)
+            dist_c = jax.lax.dynamic_slice(dist_g[0], s_g + (0,),
+                                           c_g + (n_rays,))
+            zz = jax.lax.broadcasted_iota(jnp.int32, c_g, 0) + origin_g[0]
+            yy = jax.lax.broadcasted_iota(jnp.int32, c_g, 1) + origin_g[1]
+            xx = jax.lax.broadcasted_iota(jnp.int32, c_g, 2) + origin_g[2]
+            interior = ((zz >= b) & (zz < gdim[0] - b)
+                        & (yy >= b) & (yy < gdim[1] - b)
+                        & (xx >= b) & (xx < gdim[2] - b))
+            pts = jnp.stack([zz, yy, xx], -1) * \
+                jnp.asarray(grid, jnp.int32)
+            in_range = ((pts[..., 0] < vol[0]) & (pts[..., 1] < vol[1])
+                        & (pts[..., 2] < vol[2]))
+            masked = jnp.where(interior & in_range, prob_c,
+                               -jnp.inf).reshape(-1)
+            k = min(k_tile, masked.size)
+            top_p, top_idx = jax.lax.top_k(masked, k)
+            valid = top_p > prob_thresh
+            dists = jnp.maximum(dist_c.reshape(-1, n_rays)[top_idx], 1e-3)
+            pts_flat = pts.reshape(-1, 3)[top_idx]
+            return (prob_c, jnp.where(valid, top_p, 0.0), dists, pts_flat,
+                    valid)
+
+        self._fused[key] = prog
+        return prog
+
+    def _get_combine_program(self, k, image_shape, return_labels):
+        """Global overlap -> greedy NMS -> (optional) label render over the
+        concatenated per-tile candidates — same ops as the whole-volume
+        fused program."""
+        key = ("combine", k, tuple(image_shape), return_labels)
+        fn = self._fused.get(key)
+        if fn is not None:
+            return fn
+        rays, render_box = self.rays, self.render_box
+
+        @jax.jit
+        def combine(probs, dists, points, valid, nms_thresh):
+            centers = points.astype(jnp.float32)
+            overlaps = overlap_matrix(centers, dists, rays, valid)
+            kept = greedy_nms(probs, overlaps, valid, nms_thresh)
+            if return_labels:
+                labels = render_polyhedra_labels(
+                    centers, dists, rays, probs, kept,
+                    tuple(image_shape), render_box)
+                return kept, labels
+            return kept
+
+        self._fused[key] = combine
+        return combine
+
+    def predict_instances_tiled(self, x: np.ndarray,
+                                tile_shape=(None, 256, 256),
+                                shrink=None,
+                                prob_thresh: Optional[float] = None,
+                                nms_thresh: Optional[float] = None,
+                                tile_candidates: int = 256,
+                                return_labels: bool = True,
+                                norm_minmax: Tuple[float, float] = (0., 1.)):
+        """Tile-and-stitch instance prediction for volumes too large for
+        the whole-volume program — the case the reference explicitly punts
+        on (``stardist3dcustom.py:188`` raises ``NotImplementedError`` for
+        tiled sparse prediction; stardist's own ``predict_instances_big``
+        is never wired up there).
+
+        Semantics: the volume is reflect-padded and covered by overlapping
+        tiles whose ``shrink`` margin defaults to the network's receptive
+        field (``StarDist3DNet.receptive_field``), so backbone outputs in
+        every tile's center region are BIT-IDENTICAL to the whole-volume
+        pass (an output voxel depends only on inputs within the RF).
+        Candidates are gathered per tile from its center region only (the
+        centers partition the volume — no duplicates), with the
+        whole-volume path's border exclusion evaluated in GLOBAL
+        coordinates; NMS and label rendering then run globally.  Within
+        the network's RF of the volume boundary, results may differ from
+        the whole-volume pass (different padding context) — the same
+        boundary caveat as the reference's tiled U-Net
+        (``unet3d.py:203-279``).
+
+        ``tile_shape``: per-axis tile size; ``None`` (or >= volume) leaves
+        an axis untiled.  Sizes are rounded down to ``div_by`` multiples.
+        ``tile_candidates``: top-k candidate budget per tile; the global
+        budget stays ``self.max_candidates``.
+
+        Returns ``((labels, details), prob_map)`` exactly like
+        :meth:`predict_instances` (prob_map at grid resolution).
+        """
+        from ..ops.tiling import plan_tiles
+
+        x = np.asarray(x)
+        vol = tuple(int(s) for s in x.shape)
+        cfg = self.config
+        grid = tuple(cfg.grid)
+        div = self.net.div_by
+        if prob_thresh is None:
+            prob_thresh = self._thresholds["prob"]
+        if nms_thresh is None:
+            nms_thresh = self._thresholds["nms"]
+        if shrink is None:
+            shrink = self.net.receptive_field()
+
+        tiles, shr = [], []
+        for ax in range(3):
+            t, v, d, g = tile_shape[ax], vol[ax], div[ax], grid[ax]
+            # shrink rounds up to a div_by multiple: tile content must sit
+            # on the same pooling grid as the whole volume, i.e.
+            # (tile_origin - shrink) % div == 0 for every tile
+            s = -(-int(shrink[ax]) // d) * d
+            if t is None or int(t) - 2 * s >= v:
+                tiles.append(-(-v // d) * d)           # one tile covers it
+                shr.append(0)
+            else:
+                t = (int(t) // d) * d
+                if t - 2 * s <= 0:
+                    raise ValueError(
+                        f"tile {t} too small for shrink {s} on axis {ax} "
+                        f"(receptive field {self.net.receptive_field()})")
+                tiles.append(t)
+                shr.append(s)
+        tiles, shr = tuple(tiles), tuple(shr)
+        plan = plan_tiles(vol, tiles, shr)
+
+        padded = np.pad(
+            x.astype(np.float32),
+            [(s, p - v - s) for s, p, v in zip(shr, plan.padded_shape, vol)],
+            mode="reflect")
+        gshape = tuple(-(-v // g) for v, g in zip(vol, grid))
+        prob_map = np.zeros(gshape, np.float32)
+        c_g = tuple((t - 2 * s) // g for t, s, g in zip(tiles, shr, grid))
+
+        prog = self._get_tile_program(tiles, shr, vol, tile_candidates)
+        mi, ma = norm_minmax
+        parts = []
+        for origin in plan.origins:
+            o = tuple(int(v) for v in origin)
+            tile = padded[o[0]:o[0] + tiles[0], o[1]:o[1] + tiles[1],
+                          o[2]:o[2] + tiles[2]]
+            og = tuple(v // g for v, g in zip(o, grid))
+            out = prog(self.params, jnp.asarray(tile),
+                       jnp.float32(mi), jnp.float32(ma),
+                       jnp.asarray(og, jnp.int32), jnp.float32(prob_thresh))
+            prob_c, top_p, dists, pts, valid = jax.device_get(out)
+            ext = tuple(min(c, gs - oo)
+                        for c, gs, oo in zip(c_g, gshape, og))
+            if all(e > 0 for e in ext):
+                prob_map[og[0]:og[0] + ext[0], og[1]:og[1] + ext[1],
+                         og[2]:og[2] + ext[2]] = \
+                    prob_c[:ext[0], :ext[1], :ext[2]]
+            parts.append((top_p, dists, pts, valid))
+
+        probs = np.concatenate([p[0] for p in parts])
+        dists = np.concatenate([p[1] for p in parts])
+        points = np.concatenate([p[2] for p in parts])
+        valid = np.concatenate([p[3] for p in parts])
+        order = np.argsort(-np.where(valid, probs, -np.inf), kind="stable")
+        order = order[:self.max_candidates]
+        probs, dists, points, valid = (probs[order], dists[order],
+                                       points[order], valid[order])
+
+        combine = self._get_combine_program(len(order), vol, return_labels)
+        out = combine(jnp.asarray(probs), jnp.asarray(dists),
+                      jnp.asarray(points), jnp.asarray(valid),
+                      jnp.float32(nms_thresh))
+        if return_labels:
+            kept, labels = jax.device_get(out)
+        else:
+            kept, labels = jax.device_get(out), None
+        return self._finalize_instances((kept, probs, dists, points,
+                                         prob_map, labels))
+
 
 def load_stardist_model(model_name: str = "stardist",
                         basedir: str = "stardist_models") -> StarDist3D:

@@ -211,6 +211,53 @@ class StarDist3DNet:
         return tuple(g * p ** cfg.unet_n_depth
                      for g, p in zip(cfg.grid, cfg.unet_pool))
 
+    def receptive_field(self) -> Tuple[int, int, int]:
+        """Per-axis receptive-field RADIUS of the (prob, dist) outputs, in
+        input voxels.  An output voxel depends only on inputs within this
+        radius, so tile-and-stitch with a shrink margin >= this value
+        reproduces whole-volume outputs bit-exactly in the interior
+        (the basis of ``StarDist3D.predict_instances_tiled``)."""
+        cfg = self.config
+        k = tuple(cfg.unet_kernel_size)
+        # (jump, radius) composition: a conv with kernel k at input jump j
+        # widens the RF by (k//2)*j; a p-pool adds its window extent
+        # (p-1)*j and multiplies the jump; nearest upsampling divides the
+        # jump and adds up to (p-1) fine voxels of alignment slack.
+        j, r = [1, 1, 1], [0, 0, 0]
+
+        def convs(n):
+            for ax in range(3):
+                r[ax] += n * (k[ax] // 2) * j[ax]
+
+        def pool(p):
+            for ax in range(3):
+                r[ax] += (p[ax] - 1) * j[ax]
+                j[ax] *= p[ax]
+
+        def upsample(p):
+            for ax in range(3):
+                j[ax] //= p[ax]
+                r[ax] += (p[ax] - 1) * j[ax]
+
+        if self.arch == "keras":
+            ncv = cfg.unet_n_conv_per_depth
+            for p in self._keras_pools():
+                convs(ncv)
+                pool(p)
+        else:
+            ncv = 2                       # two convs per level in this arch
+            pool(cfg.grid)                # grid max-pool runs before stem
+            convs(1)                      # stem
+        for _lvl in range(cfg.unet_n_depth):
+            convs(ncv)
+            pool(cfg.unet_pool)
+        convs(ncv)                        # bottom / middle
+        for _lvl in range(cfg.unet_n_depth):
+            upsample(cfg.unet_pool)
+            convs(ncv)
+        convs(1)                          # features (3x3x3)
+        return tuple(int(v) for v in r)
+
 
 @functools.partial(jax.jit, static_argnames=(
     "grid", "max_candidates", "border"))
