@@ -21,6 +21,7 @@ from typing import Optional, Tuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from .connected import label_components_raw, relabel_sequential
 from .edt import distance_transform_edt
@@ -28,7 +29,10 @@ from .filters import gaussian_filter
 from .neighborhood import neighbor_offsets, shift
 from .peaks import peak_local_max_mask
 
-_INF = jnp.float32(3e38)
+# NumPy scalar, NOT jnp: a module-level device array would initialize the
+# XLA backend at import time, which breaks jax.distributed.initialize()
+# in multi-host processes (it must run before any backend use).
+_INF = np.float32(3e38)
 
 
 @functools.partial(jax.jit, static_argnames=("connectivity", "max_iters"))
