@@ -554,6 +554,105 @@ def predict_and_save(images_path, model: StarDist3D,
     print(f"All images from t={t_min} to t={done_t} have been segmented")
 
 
+def fill_label_holes(lbl: np.ndarray) -> np.ndarray:
+    """Fill holes inside each labeled instance (csbdeep/stardist
+    ``fill_label_holes``, used by ``stardistwrapper.py:180``)."""
+    import scipy.ndimage as ndi
+
+    out = lbl.copy()
+    for sl, idx in zip(ndi.find_objects(lbl), range(1, lbl.max() + 1)):
+        if sl is None:
+            continue
+        grown = tuple(slice(max(s.start - 1, 0), s.stop + 1) for s in sl)
+        mask = lbl[grown] == idx
+        filled = ndi.binary_fill_holes(mask)
+        out[grown][filled] = idx
+    return out
+
+
+def load_training_images(path_train_images: str, path_train_labels: str,
+                         max_projection: bool = True, plot: bool = True):
+    """Load + normalize StarDist training volumes and split train/val
+    (``stardistwrapper.load_training_images`` :168-211): sorted globs with
+    matching filenames, per-volume 1/99.8 percentile normalization,
+    label-hole filling, the single-volume duplication fallback, and the
+    seeded 15% validation split.
+
+    Returns (X, Y, X_trn, Y_trn, X_val, Y_val, n_channel)."""
+    import sys as _sys
+    from glob import glob
+
+    from ..io.imageio import imread_volume, percentile_normalize
+
+    X_paths = sorted(glob(path_train_images))
+    Y_paths = sorted(glob(path_train_labels))
+    assert len(X_paths) > 0 and len(Y_paths) > 0, \
+        "Error: No images found in either X or Y."
+    assert all(Path(x).name == Path(y).name
+               for x, y in zip(X_paths, Y_paths)), \
+        "Error: Filenames in X and Y do not match."
+    X = [np.asarray(imread_volume(p)) for p in X_paths]
+    Y = [np.asarray(imread_volume(p)) for p in Y_paths]
+    n_channel = 1 if X[0].ndim == 3 else X[0].shape[-1]
+    if n_channel > 1:
+        print("Normalizing image channels independently.")
+        _sys.stdout.flush()
+    # normalize over (z, y, x); channels (if any) independently
+    X = [percentile_normalize(x.astype(np.float32), 1, 99.8,
+                              axis=(0, 1, 2) if x.ndim == 4 else None)
+         for x in X]
+    Y = [fill_label_holes(y.astype(np.int32)) for y in Y]
+    if len(X) == 1:
+        print("Warning: only one training data was provided! It will be "
+              "used for both training and validation purposes!")
+        X = [X[0], X[0]]
+        Y = [Y[0], Y[0]]
+    rng = np.random.RandomState(42)
+    ind = rng.permutation(len(X))
+    n_val = max(1, int(round(0.15 * len(ind))))
+    ind_train, ind_val = ind[:-n_val], ind[-n_val:]
+    X_val, Y_val = [X[i] for i in ind_val], [Y[i] for i in ind_val]
+    X_trn, Y_trn = [X[i] for i in ind_train], [Y[i] for i in ind_train]
+    print('number of images: %3d' % len(X))
+    print('- training:       %3d' % len(X_trn))
+    print('- validation:     %3d' % len(X_val))
+    print(f"X[0].shape={X[0].shape}")
+    if plot:
+        from .. import viz
+        img, lbl = X[0], Y[0]
+        img = img if img.ndim == 3 else img[..., :3]
+        if max_projection:
+            viz.plot_img_label_max_projection(img, lbl)
+        else:
+            viz.plot_img_label_center_slice(img, lbl)
+    return X, Y, X_trn, Y_trn, X_val, Y_val, n_channel
+
+
+def save_arrays_to_folder(arrays: List[np.ndarray],
+                          folder_path: Union[str, Path]) -> None:
+    """Save arrays as ``coords%04i.npy`` (1-based) into ``folder_path``
+    (``stardistwrapper.save_arrays_to_folder`` :149-165)."""
+    path = Path(folder_path)
+    path.mkdir(parents=True, exist_ok=True)
+    for i, arr in enumerate(arrays):
+        np.save(path / f"coords{i + 1:04d}.npy", arr)
+
+
+def save_auto_seg_vol1(labels_xyz: np.ndarray,
+                       results_folder: Union[str, Path]) -> None:
+    """Write the vol-1 auto segmentation as per-z TIFFs
+    (``stardistwrapper.save_auto_seg_vol1`` :140-146); labels in the
+    pipeline's (x, y, z) frame."""
+    save_volume_slices(labels_xyz, Path(results_folder) / "auto_vol1",
+                       "auto_vol1_z%04i.tif")
+
+
+def print_dict(my_dict: dict) -> None:
+    """``stardistwrapper.print_dict`` (:284-286)."""
+    for key, value in my_dict.items():
+        print(f"{key}: {value}")
+
+
 def configure(Y: List[np.ndarray], n_channel: int = 1,
               up_limit: int = UP_LIMIT) -> StarDistConfig:
     """Config heuristics from training labels

@@ -41,6 +41,25 @@ def imread(path: str) -> np.ndarray:
         return np.asarray(img)
 
 
+def imread_volume(path: str) -> np.ndarray:
+    """Read a (multi-page) TIFF as a volume: (n_pages, h, w[, c]), or the
+    plain 2-D/3-D array for single-page files — the ``tifffile.imread``
+    role for the reference's per-volume training files
+    (``stardistwrapper.py:173-175``)."""
+    with Image.open(path) as img:
+        n = getattr(img, "n_frames", 1)
+        if n == 1:
+            return np.asarray(img)
+        img.seek(0)
+        first = np.asarray(img)
+        out = np.empty((n,) + first.shape, first.dtype)
+        out[0] = first
+        for i in range(1, n):
+            img.seek(i)
+            out[i] = np.asarray(img)
+        return out
+
+
 def imread_stack(paths: List[str]) -> np.ndarray:
     """Stack 2-D slices into (z, h, w); native threaded decode when
     available (grayscale TIFF), PIL otherwise."""
@@ -64,11 +83,14 @@ def imread_stack(paths: List[str]) -> np.ndarray:
 
 def percentile_normalize(x: np.ndarray, pmin: float = 1.0,
                          pmax: float = 99.8,
-                         eps: float = 1e-20) -> np.ndarray:
-    """csbdeep.utils.normalize semantics (``stardistwrapper.py:71``)."""
+                         eps: float = 1e-20,
+                         axis=None) -> np.ndarray:
+    """csbdeep.utils.normalize semantics (``stardistwrapper.py:71``);
+    ``axis`` limits the percentile reduction (e.g. (0, 1, 2) normalizes
+    each channel of a (z, y, x, c) volume independently)."""
     x = x.astype(np.float32, copy=False)
-    mi = np.percentile(x, pmin)
-    ma = np.percentile(x, pmax)
+    mi = np.percentile(x, pmin, axis=axis, keepdims=axis is not None)
+    ma = np.percentile(x, pmax, axis=axis, keepdims=axis is not None)
     return (x - mi) / (ma - mi + eps)
 
 

@@ -40,6 +40,70 @@ def random_label_cmap(n: int = 2 ** 16, seed: int = 42):
 lbl_cmap = random_label_cmap()
 
 
+def plot_img_label_center_slice(img, lbl, img_title="image (XY slice)",
+                                lbl_title="label (XY slice)", z=None,
+                                path: Optional[str] = None):
+    """Side-by-side center z-slice of image + labels
+    (``stardistwrapper.plot_img_label_center_slice`` :289-299)."""
+    img, lbl = np.asarray(img), np.asarray(lbl)
+    if z is None:
+        z = img.shape[0] // 2
+    fig, (ai, al) = plt.subplots(
+        1, 2, figsize=(15, 7), gridspec_kw=dict(width_ratios=(1.25, 1)))
+    im = ai.imshow(img[z], cmap="gray", clim=(0, 1))
+    ai.set_title(img_title)
+    fig.colorbar(im, ax=ai)
+    al.imshow(lbl[z], cmap=lbl_cmap)
+    al.set_title(lbl_title)
+    plt.tight_layout()
+    if path:
+        fig.savefig(path)
+        plt.close(fig)
+    return fig
+
+
+def plot_img_label_max_projection(img, lbl,
+                                  img_title="image (max projection/x-y)",
+                                  lbl_title="label (max projection)",
+                                  fig_width_px=1200, dpi=96,
+                                  path: Optional[str] = None):
+    """x-y max-projection pair (``stardistwrapper`` :302-313)."""
+    img, lbl = np.asarray(img), np.asarray(lbl)
+    w = fig_width_px / dpi
+    fig, (ai, al) = plt.subplots(1, 2, figsize=(w, w / 1.618))
+    ai.imshow(img.max(axis=0), clim=(0, 1), vmin=0, vmax=1)
+    ai.set_title(img_title)
+    al.imshow(lbl.max(axis=0), cmap=lbl_cmap)
+    al.set_title(lbl_title)
+    plt.tight_layout()
+    if path:
+        fig.savefig(path)
+        plt.close(fig)
+    return fig
+
+
+def plot_img_label_max_projection_xz(img, lbl,
+                                     img_title="image (max projection/x-z)",
+                                     lbl_title="label (max projection)",
+                                     fig_width_px=1200, dpi=96,
+                                     scale_z: int = 1,
+                                     path: Optional[str] = None):
+    """x-z max-projection pair with z aspect scaling
+    (``stardistwrapper`` :316-329)."""
+    img, lbl = np.asarray(img), np.asarray(lbl)
+    w = fig_width_px / dpi
+    fig, (ai, al) = plt.subplots(1, 2, figsize=(w, w / 1.618))
+    ai.imshow(img.max(axis=1), clim=(0, 1), vmin=0, vmax=1, aspect=scale_z)
+    ai.set_title(img_title)
+    al.imshow(lbl.max(axis=1), cmap=lbl_cmap, aspect=scale_z)
+    al.set_title(lbl_title)
+    plt.tight_layout()
+    if path:
+        fig.savefig(path)
+        plt.close(fig)
+    return fig
+
+
 def plot_two_pointset_scatters(ref_ptrs, tgt_ptrs, t1, t2,
                                fig_width_px=1200, dpi=96):
     """coord_image_transformer.py:702-757."""
