@@ -8,13 +8,17 @@ beta-annealed FFN + PR-GLS fit, replayed motion (C, beta, intermediates),
 boundary-cell persistence semantics, legacy accurate correction weighted by
 U-Net probability + raw intensity, and CSV export.
 
-Deliberate internal differences (documented, results-equivalent):
+Deliberate internal differences (documented, results-equivalent in the
+default mode):
 - label synthesis uses the atlas scatter (overlaps accumulate then zero at
   mask > 1) instead of last-write-wins pasting — downstream both paths zero
   overlaps before use (tracker.py:1322, 1395);
 - cells pushed partially outside the canvas are clipped instead of dropped
   (tracker.py:1375-1376 skips them) — boundary flagging removes them first
   in practice.
+Construct with ``paste_mode="reference"`` for byte-level parity on both
+points (last-write-wins ids + drop out-of-range cells; see
+``ops/subregions.py`` move_cells_* overlap_mode/out_of_range).
 """
 
 from __future__ import annotations
@@ -119,7 +123,8 @@ class Tracker:
                  folder_path, image_name, unet_model_file, ffn_model_file,
                  cell_num=0, ensemble=False, adjacent=False,
                  shrink=(24, 24, 2), miss_frame=None,
-                 unet_variant: str = "a", max_cells: int = 512):
+                 unet_variant: str = "a", max_cells: int = 512,
+                 paste_mode: str = "scatter"):
         self.volume_num = volume_num
         self.x_siz, self.y_siz, self.z_siz = siz_xyz
         self.z_xy_ratio = float(z_xy_ratio)
@@ -151,6 +156,14 @@ class Tracker:
         self.segresult = None
         self.tracked_labels = None
         self.save_figures = False
+        # "scatter" (TPU default: overlaps accumulate + clip at canvas) or
+        # "reference" (byte-level tracker.py:1366-1389 parity: id-order
+        # last-write-wins + drop out-of-range cells)
+        if paste_mode not in ("scatter", "reference"):
+            raise ValueError(f"paste_mode {paste_mode!r}")
+        self._paste_kwargs = (
+            dict(overlap_mode="last", out_of_range="drop")
+            if paste_mode == "reference" else {})
 
     # ---- parameter setters (tracker.py:520-550, 889-906) -------------------
     def set_segmentation(self, noise_level=None, min_size=None,
@@ -362,7 +375,8 @@ class Tracker:
         n0 = int(seg.max())
 
         atlas0 = self._make_atlas(seg)
-        labels, overlap = move_cells_sampled(atlas0)
+        labels, overlap = move_cells_sampled(atlas0,
+                                             **self._paste_kwargs)
         smoothed = np.asarray(recalculate_cell_boundaries(labels, overlap))
 
         corrected = np.asarray(label_components_values(
@@ -373,7 +387,8 @@ class Tracker:
                   f"program found {int(corrected.max())} separated cells "
                   "and corrected it")
         self.atlas = self._make_atlas(corrected)
-        labels, overlap = move_cells_sampled(self.atlas)
+        labels, overlap = move_cells_sampled(self.atlas,
+                                             **self._paste_kwargs)
         self.segmentation_manual_relabels = np.asarray(
             recalculate_cell_boundaries(labels, overlap))
 
@@ -487,7 +502,8 @@ class Tracker:
     def _correction_once_interp(self, i_disp_from_vol1, cell_on_bound):
         include = jnp.asarray(cell_on_bound == 0)
         labels, overlap = move_cells_sampled(
-            self.atlas, jnp.asarray(i_disp_from_vol1, jnp.int32), include)
+            self.atlas, jnp.asarray(i_disp_from_vol1, jnp.int32), include,
+            **self._paste_kwargs)
         markers = jnp.where(overlap > 1, 0, labels)
         weights = jnp.asarray(
             self.segresult.image_cell_bg + self.segresult.image_gcn,
@@ -530,7 +546,8 @@ class Tracker:
     def _transform_motion_to_image(self, cells_on_boundary_local, i_disp):
         include = jnp.asarray(cells_on_boundary_local == 0)
         labels, overlap = move_cells_sampled(
-            self.atlas, jnp.asarray(i_disp, jnp.int32), include)
+            self.atlas, jnp.asarray(i_disp, jnp.int32), include,
+            **self._paste_kwargs)
         labels = jnp.where(overlap > 1, 0, labels)
         return np.asarray(recalculate_cell_boundaries(labels, overlap))
 

@@ -134,13 +134,52 @@ def build_subregion_atlas(label_image: jax.Array,
                           tuple(int(s) for s in label_image.shape))
 
 
-def _paste_scatter(canvas_shape, boxes, positions, include):
-    """One batched scatter-add of all cells' boxes at dynamic positions.
+def _box_widths(boxes: jax.Array) -> jax.Array:
+    """(n, 3) per-cell true occupied extent of each padded box (the
+    reference's ``region_width``, tracker.py:1107)."""
+    n = boxes.shape[0]
+    widths = []
+    for ax, other in ((1, (2, 3)), (2, (1, 3)), (3, (1, 2))):
+        any_line = jnp.any(boxes, axis=other)            # (n, len_ax)
+        idx = jax.lax.broadcasted_iota(jnp.int32, any_line.shape, 1) + 1
+        widths.append(jnp.max(jnp.where(any_line, idx, 0), axis=1))
+    return jnp.stack(widths, axis=1)
+
+
+def _reference_in_bounds(atlas: "SubregionAtlas", movements: jax.Array,
+                         full_shape) -> jax.Array:
+    """Which moved cells the reference's paste keeps
+    (``tracker.py:1370-1376``): the canvas pad is the MAX region width
+    (``:1107``), a cell is pasted only when its own extent fits the padded
+    canvas (a shape mismatch skips it), and the negative-slicing wrap case
+    lands entirely inside the pad — invisible after cropping, i.e. an
+    effective drop.  Evaluated in the unpadded frame:
+    ``-pad_ref <= origin + move`` and ``origin + move + width <= S +
+    pad_ref`` per axis."""
+    w = _box_widths(atlas.boxes)
+    w_valid = jnp.where(atlas.valid[:, None], w, 0)
+    pad_ref = jnp.max(w_valid, axis=0)                       # (3,)
+    base = atlas.origins + movements.astype(jnp.int32)
+    lim = jnp.asarray(full_shape, jnp.int32)[None, :] + pad_ref[None, :]
+    return jnp.all((base >= -pad_ref[None, :]) & (base + w <= lim), axis=1)
+
+
+def _paste_scatter(canvas_shape, boxes, positions, include,
+                   overlap_mode: str = "add"):
+    """One batched scatter of all cells' boxes at dynamic positions.
 
     boxes: (n, bx, by, bz) bool; positions: (n, 3) clamped into the padded
     canvas.  Returns (labels, overlap-count) int32 canvases.  A single
     scatter replaces the reference's per-cell Python paste loop
     (coord_image_transformer.py:362-368) — latency O(1) instead of O(n).
+
+    ``overlap_mode``:
+    - ``"add"``: overlap voxels hold the SUM of ids (zeroed downstream
+      where overlap > 1 — the TPU default);
+    - ``"last"``: the reference's byte-level semantics
+      (``tracker.py:1366-1380``, paste in ascending cell id, later write
+      wins).  Since ids ascend with paste order, last-write-wins equals a
+      scatter-max of ids — no sequential loop needed.
     """
     n, bx, by, bz = boxes.shape
     cx, cy, cz = canvas_shape
@@ -155,22 +194,36 @@ def _paste_scatter(canvas_shape, boxes, positions, include):
     vals_i = vals.astype(jnp.int32)
     cell_ids = jax.lax.broadcasted_iota(
         jnp.int32, (n, bx, by, bz), 0) + 1
-    labels = jnp.zeros((cx * cy * cz,), jnp.int32).at[
-        flat_idx.reshape(-1)].add((vals_i * cell_ids).reshape(-1))
+    if overlap_mode == "last":
+        labels = jnp.zeros((cx * cy * cz,), jnp.int32).at[
+            flat_idx.reshape(-1)].max((vals_i * cell_ids).reshape(-1))
+    else:
+        labels = jnp.zeros((cx * cy * cz,), jnp.int32).at[
+            flat_idx.reshape(-1)].add((vals_i * cell_ids).reshape(-1))
     overlap = jnp.zeros((cx * cy * cz,), jnp.int32).at[
         flat_idx.reshape(-1)].add(vals_i.reshape(-1))
     return labels.reshape(canvas_shape), overlap.reshape(canvas_shape)
 
 
-@jax.jit
+@functools.partial(jax.jit, static_argnames=("overlap_mode",
+                                              "out_of_range"))
 def move_cells_full(atlas: SubregionAtlas,
                     movements: Optional[jax.Array] = None,
-                    include: Optional[jax.Array] = None
+                    include: Optional[jax.Array] = None,
+                    overlap_mode: str = "add",
+                    out_of_range: str = "clip"
                     ) -> Tuple[jax.Array, jax.Array]:
     """Reference ``move_cells`` parity: full interpolated canvas
     (x, y, z*f).  ``movements``: (n, 3) int32 in the interp frame.
     ``include``: (n,) bool (False = cells_missed).  Returns (labels, overlap
-    count mask)."""
+    count mask).
+
+    ``overlap_mode``: see ``_paste_scatter``.  ``out_of_range``: ``"clip"``
+    keeps cells pushed past the padded canvas (clamped — the TPU default);
+    ``"drop"`` skips them entirely like the reference
+    (``tracker.py:1375-1376`` continues on shape mismatch).  Pass
+    ``overlap_mode="last", out_of_range="drop"`` for byte-level parity with
+    ``_transform_cells_quick``."""
     n = atlas.n_cells
     if movements is None:
         movements = jnp.zeros((n, 3), jnp.int32)
@@ -185,24 +238,35 @@ def move_cells_full(atlas: SubregionAtlas,
     canvas_shape = tuple(s + 2 * p for s, p in zip(full_shape, pad))
     pos = atlas.origins + movements.astype(jnp.int32) + \
         jnp.asarray(pad, jnp.int32)
+    hi = jnp.asarray([c - b for c, b in zip(canvas_shape, atlas.box_shape)],
+                     jnp.int32)
+    if out_of_range == "drop":
+        include = include & _reference_in_bounds(atlas, movements,
+                                                 full_shape)
     # clamp so even fully-out-of-range cells stay inside the padded canvas
-    pos = jnp.clip(pos, 0, jnp.asarray(
-        [c - b for c, b in zip(canvas_shape, atlas.box_shape)], jnp.int32))
-    cl, cm = _paste_scatter(canvas_shape, atlas.boxes, pos, include)
+    pos = jnp.clip(pos, 0, hi)
+    cl, cm = _paste_scatter(canvas_shape, atlas.boxes, pos, include,
+                            overlap_mode)
     sl = tuple(slice(p, p + s) for p, s in zip(pad, full_shape))
     return cl[sl], cm[sl]
 
 
-@jax.jit
+@functools.partial(jax.jit, static_argnames=("overlap_mode",
+                                              "out_of_range"))
 def move_cells_sampled(atlas: SubregionAtlas,
                        movements: Optional[jax.Array] = None,
-                       include: Optional[jax.Array] = None
+                       include: Optional[jax.Array] = None,
+                       overlap_mode: str = "add",
+                       out_of_range: str = "clip"
                        ) -> Tuple[jax.Array, jax.Array]:
     """Like ``move_cells_full`` followed by sampling the original z slices
     ``z = f//2, f//2 + f, ...`` (``z_slice_original_labels``), but pastes
     only the needed box planes — f x less memory traffic.
 
-    Returns (labels, overlap mask) of shape (x, y, z)."""
+    Returns (labels, overlap mask) of shape (x, y, z).
+    ``overlap_mode`` / ``out_of_range``: see ``move_cells_full``; the
+    ``"drop"`` bound is evaluated in the FULL interpolated frame so it
+    matches the reference's check exactly."""
     n = atlas.n_cells
     if movements is None:
         movements = jnp.zeros((n, 3), jnp.int32)
@@ -219,6 +283,9 @@ def move_cells_sampled(atlas: SubregionAtlas,
     canvas_shape = (x + 2 * pad[0], y + 2 * pad[1], z + 2 * pad[2])
 
     pos_interp = atlas.origins + movements.astype(jnp.int32)
+    if out_of_range == "drop":
+        include = include & _reference_in_bounds(atlas, movements,
+                                                 (x, y, z * f))
     # boxes reshaped so plane index p = k*f + r
     boxes_r = atlas.boxes.reshape(n, bx, by, bz, f)
 
@@ -235,6 +302,7 @@ def move_cells_sampled(atlas: SubregionAtlas,
     pos = jnp.clip(pos, 0, jnp.asarray(
         [canvas_shape[0] - bx, canvas_shape[1] - by,
          canvas_shape[2] - bz], jnp.int32))
-    cl, cm = _paste_scatter(canvas_shape, planes, pos, include)
+    cl, cm = _paste_scatter(canvas_shape, planes, pos, include,
+                            overlap_mode)
     sl = tuple(slice(p, p + s) for p, s in zip(pad, (x, y, z)))
     return cl[sl], cm[sl]

@@ -194,3 +194,65 @@ def test_accurate_correction_converges_to_prob_peaks(atlas_and_ref):
     assert int(it) >= 1
     labels = np.asarray(labels)
     assert set(np.unique(labels)) <= {0, 1, 2, 3}
+
+
+def numpy_transform_cells_quick(subregions, shape, factor, movements):
+    """Port of the LEGACY paste, tracker.py:1351-1389: canvas padded by the
+    max region width, cells pasted in id order with last-write-wins
+    overlaps, and a cell whose slice shape mismatches is skipped entirely."""
+    x, y, z = shape
+    widths = np.array([[s.stop - s.start for s in bbox]
+                       for bbox, _ in subregions])
+    px, py, pz = widths.max(axis=0)
+    canvas = np.zeros((x + 2 * px, y + 2 * py, z * factor + 2 * pz),
+                      np.int64)
+    mask = canvas.copy()
+    for i, (bbox, sub) in enumerate(subregions):
+        mins = [bbox[0].start + int(movements[i][0]) + px,
+                bbox[1].start + int(movements[i][1]) + py,
+                bbox[2].start + int(movements[i][2]) + pz]
+        sl = tuple(slice(m, m + w) for m, w in zip(mins, widths[i]))
+        prev = canvas[sl]
+        if prev.shape != sub.shape:
+            continue
+        canvas[sl] = prev * (1 - sub) + sub * (i + 1)
+        mask[sl] += sub.astype(np.int64)
+    return (canvas[px:-px, py:-py, pz:-pz],
+            mask[px:-px, py:-py, pz:-pz])
+
+
+def test_move_cells_reference_paste_parity(atlas_and_ref):
+    """The divergent case for both documented legacy deltas: cells 1 and 2
+    moved onto each other (last-write-wins vs accumulate) and cell 3 pushed
+    past the padded canvas (drop vs clip)."""
+    lab, atlas, ref_subs = atlas_and_ref
+    # cell 2 moved onto cell 1; cell 3 far past the +y pad
+    movements = np.array([[0, 0, 0], [-11, -3, -4], [0, 40, 0]], np.int32)
+
+    want_l, want_m = numpy_transform_cells_quick(ref_subs, lab.shape,
+                                                 FACTOR, movements)
+    got_l, got_m = move_cells_full(atlas, movements,
+                                   overlap_mode="last", out_of_range="drop")
+    np.testing.assert_array_equal(np.asarray(got_l), want_l)
+    np.testing.assert_array_equal(np.asarray(got_m), want_m)
+
+    # sanity: the overlap region is non-trivial and the default mode
+    # genuinely diverges here (sum-ids in overlaps + clipped cell 3)
+    assert (want_m > 1).any()
+    def_l, _ = move_cells_full(atlas, movements)
+    assert (np.asarray(def_l) != want_l).any()
+
+
+def test_move_cells_sampled_reference_paste_parity(atlas_and_ref):
+    lab, atlas, ref_subs = atlas_and_ref
+    movements = np.array([[0, 0, 0], [-11, -3, -4], [0, 40, 0]], np.int32)
+    want_l, want_m = numpy_transform_cells_quick(ref_subs, lab.shape,
+                                                 FACTOR, movements)
+    f = FACTOR
+    got_l, got_m = move_cells_sampled(atlas, movements,
+                                      overlap_mode="last",
+                                      out_of_range="drop")
+    np.testing.assert_array_equal(np.asarray(got_l),
+                                  want_l[:, :, f // 2::f])
+    np.testing.assert_array_equal(np.asarray(got_m),
+                                  want_m[:, :, f // 2::f])
