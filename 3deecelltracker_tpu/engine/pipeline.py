@@ -38,7 +38,7 @@ from .transformer import BOUNDARY_XY, CoordsToImageTransformer
 
 @functools.partial(jax.jit, static_argnames=(
     "voxel_size", "image_shape", "ensemble", "max_repetition",
-    "k_points", "max_iteration", "prob_grid"))
+    "k_points", "max_iteration", "prob_grid", "labels_u8"))
 def fused_track_and_correct(ffn_params, ffn_state,
                             confirmed_raw: jax.Array,
                             coord_vol1_raw: jax.Array,
@@ -52,7 +52,8 @@ def fused_track_and_correct(ffn_params, ffn_state,
                             max_repetition: int = 20,
                             k_points: int = 20,
                             max_iteration: int = 2000,
-                            prob_grid: Tuple[int, int, int] = (1, 1, 1)):
+                            prob_grid: Tuple[int, int, int] = (1, 1, 1),
+                            labels_u8: bool = False):
     """One volume of the tracking recurrence as a SINGLE device program:
     FFN matching + PR-GLS + boundary flagging + accurate correction +
     boundary recalculation.  One dispatch per volume instead of six —
@@ -71,6 +72,9 @@ def fused_track_and_correct(ffn_params, ffn_state,
                 prob_img = jnp.repeat(prob_img, g, axis=axis)
         prob_img = prob_img[:image_shape[0], :image_shape[1],
                             :image_shape[2]]
+    # prob maps upload as float16 (half the bytes on the host->device
+    # link); correction weights compute in f32
+    prob_img = prob_img.astype(jnp.float32)
     vs = jnp.asarray(voxel_size, jnp.float32)
     confirmed_real = confirmed_raw * vs
     tracked_real = track_step(ffn_params, ffn_state, confirmed_real,
@@ -88,9 +92,11 @@ def fused_track_and_correct(ffn_params, ffn_state,
         max_repetition=max_repetition)
     corrected_labels = recalculate_cell_boundaries(
         labels, overlap, sampling_xy=tuple(voxel_size[:2]))
-    # uint16 halves the device->host transfer; the on-disk label TIFFs are
-    # 8/16-bit anyway (coord_image_transformer.py:561-583)
-    return corrected_raw, corrected_labels.astype(jnp.uint16)
+    # uint16 halves the device->host transfer (uint8 quarters it when cell
+    # ids fit — the reference writes 8-bit label TIFFs by default,
+    # coord_image_transformer.py:561-583)
+    return corrected_raw, corrected_labels.astype(
+        jnp.uint8 if labels_u8 else jnp.uint16)
 
 
 def track_timelapse(results_dir: Union[str, Path],
@@ -135,7 +141,8 @@ def track_timelapse(results_dir: Union[str, Path],
 
     import jax
 
-    save_q: "queue.Queue" = queue.Queue(maxsize=2)
+    n_savers = 2        # overlap the per-volume d2h RPC latency + codecs
+    save_q: "queue.Queue" = queue.Queue(maxsize=2 + n_savers)
     errors: List[Exception] = []
 
     def saver():
@@ -145,8 +152,11 @@ def track_timelapse(results_dir: Union[str, Path],
                 return
             t2, corrected, labels_dev, coords_t1_real_dev = item
             try:
-                labels_np = np.asarray(jax.device_get(labels_dev))
-                transformer.save_tracking_results(corrected, labels_np, t2,
+                # one d2h RPC for labels + coords together
+                labels_np, real_np = jax.device_get((labels_dev,
+                                                     corrected.real))
+                transformer.save_tracking_results(np.asarray(real_np),
+                                                  labels_np, t2,
                                                   images_path=images_path)
                 if save_figures:
                     from ..viz import save_matching_figure
@@ -159,19 +169,50 @@ def track_timelapse(results_dir: Union[str, Path],
             except Exception as e:
                 errors.append(e)
 
-    saver_thread = threading.Thread(target=saver, daemon=True)
-    saver_thread.start()
+    saver_threads = [threading.Thread(target=saver, daemon=True)
+                     for _ in range(n_savers)]
+    for th in saver_threads:
+        th.start()
 
     # prob maps (the correction stage's input) prefetch on their own
     # thread so the device loop never blocks on npy reads; the grid
     # upsample happens ON DEVICE (fused_track_and_correct prob_grid), so
     # only the grid-resolution map is uploaded
     from ..io.prefetch import VolumePrefetcher
+    # ALL h2d uploads happen ON the prefetch thread, packed into three
+    # transfers per volume (prob map + stacked seg points + stacked
+    # masks).  Through a high-latency device link every synchronous
+    # upload/fetch costs a full RPC round-trip (~20-45 ms measured even
+    # for a (512, 3) array), so the device loop itself must issue only
+    # async dispatches; building seg Coordinates through jnp on the main
+    # thread used to cost ~95 ms/volume in RPC latency alone.
+    max_cells = tracker.max_cells
+    vs_np = np.asarray(transformer.voxel_size, np.float32)
+
+    def _pad_np(raw_pts):
+        real = np.asarray(raw_pts, np.float32) * vs_np
+        n = real.shape[0]
+        if n > max_cells:
+            raise ValueError(f"{n} cells exceeds max_cells={max_cells}")
+        out = np.full((max_cells, 3), 1e6, np.float32)
+        out[:n] = real
+        mask = np.zeros(max_cells, bool)
+        mask[:n] = True
+        return out, mask
+
+    def _load_inputs(t2):
+        prob = transformer.tree.load_seg_prob(t2).astype(np.float16)
+        p1, m1 = _pad_np(transformer.tree.load_seg_coords(t2 - 1))
+        p2, m2 = _pad_np(transformer.tree.load_seg_coords(t2))
+        return (jnp.asarray(prob), jnp.asarray(np.stack([p1, p2])),
+                jnp.asarray(np.stack([m1, m2])))
+
     prob_iter = iter(VolumePrefetcher(
-        lambda t: transformer.tree.load_seg_prob(t).astype(np.float32),
+        _load_inputs,
         [t for t in range(t_min + 1, t_max + 1)
-         if t not in (miss_frame or [])], depth=2))
+         if t not in (miss_frame or [])], depth=2, workers=2))
     grid_t = tuple(int(g) for g in grid)
+    labels_u8 = transformer.coord_vol1.real.shape[0] <= 255
 
     coords_by_t: Dict[int, np.ndarray] = {
         t_min: np.asarray(transformer.coord_vol1.real)}
@@ -207,13 +248,13 @@ def track_timelapse(results_dir: Union[str, Path],
                 pred = Coordinates.from_real(
                     combined, transformer.interpolation_factor,
                     transformer.voxel_size)
-                t_prob, prob_g = next(prob_iter)
+                t_prob, (prob_g, _, _) = next(prob_iter)
                 assert t_prob == t2
                 prob_map = np.repeat(np.repeat(np.repeat(
-                    prob_g, grid_t[1], axis=0), grid_t[2], axis=1),
-                    grid_t[0], axis=2)
+                    np.asarray(prob_g), grid_t[1], axis=0),
+                    grid_t[2], axis=1), grid_t[0], axis=2)
                 x_s, y_s, z_s = transformer.proofed_segmentation.shape
-                prob_map = prob_map[:x_s, :y_s, :z_s]
+                prob_map = prob_map[:x_s, :y_s, :z_s].astype(np.float32)
                 with timer.stage("correction"):
                     corrected, labels_dev = transformer.accurate_correction(
                         t2, grid, pred, ensemble=True,
@@ -222,25 +263,23 @@ def track_timelapse(results_dir: Union[str, Path],
             else:
                 # single mode: the whole per-volume step is one device
                 # program (match + EM + boundary + correction + watershed)
-                t_prob, prob_g = next(prob_iter)
+                t_prob, (prob_g, pts_dev, masks_dev) = next(prob_iter)
                 assert t_prob == t2
-                seg1, m1 = tracker._pad(np.asarray(
-                    tracker._get_segmented_pos(t2 - 1).real))
-                seg2, m2 = tracker._pad(np.asarray(
-                    tracker._get_segmented_pos(t2).real))
+                seg1, m1 = pts_dev[0], masks_dev[0]   # async device slices
+                seg2, m2 = pts_dev[1], masks_dev[1]
                 with timer.stage("track+correct (fused)"):
                     corrected_raw, labels_dev = fused_track_and_correct(
                         tracker.ffn_params, tracker.ffn_state,
                         coords_t1.raw_f32,
                         transformer.coord_vol1.raw_f32,
-                        seg1, m1, seg2, m2, jnp.asarray(prob_g),
+                        seg1, m1, seg2, m2, prob_g,
                         transformer.atlas,
                         tuple(transformer.voxel_size),
                         transformer.proofed_segmentation.shape,
                         beta=config.beta, lambda_=config.lambda_,
                         ensemble=False,
                         max_repetition=config.max_correction_reps,
-                        prob_grid=grid_t)
+                        prob_grid=grid_t, labels_u8=labels_u8)
                 corrected = Coordinates(
                     corrected_raw, transformer.interpolation_factor,
                     tuple(transformer.voxel_size))
@@ -252,8 +291,10 @@ def track_timelapse(results_dir: Union[str, Path],
             if verbose:
                 print(f"tracked t={t2}/{t_max}", end="\r")
     finally:
-        save_q.put(None)
-        saver_thread.join()
+        for _ in saver_threads:
+            save_q.put(None)
+        for th in saver_threads:
+            th.join()
     if errors:
         raise errors[0]
     for t2, c in corrected_by_t.items():

@@ -164,7 +164,11 @@ class StarDist3D:
             probs, dists, points, valid = sparse_candidates(
                 prob_g, dist_g, cfg.grid, prob_thresh,
                 max_candidates=max_candidates)
-            prob_map = prob_g[:gshape[0], :gshape[1], :gshape[2]]
+            # f16 halves the per-volume prob-map transfer; _finalize
+            # restores float32 on host (quantization ~5e-4 abs, far below
+            # any thresholding or correction-weight sensitivity)
+            prob_map = prob_g[:gshape[0], :gshape[1],
+                              :gshape[2]].astype(jnp.float16)
             # resizer.filter_points: drop candidates in the pad margin
             valid = (valid
                      & (points[:, 0] < orig_shape[0])
@@ -175,9 +179,11 @@ class StarDist3D:
             kept = greedy_nms(probs, overlaps, valid, nms_thresh)
             out = (kept, probs, dists, points, prob_map)
             if return_labels:
+                # uint16 halves the label transfer (cell counts are far
+                # below 65535; the reference writes 8/16-bit TIFFs anyway)
                 out = out + (render_polyhedra_labels(
                     centers, dists, rays, probs, kept, image_shape,
-                    render_box),)
+                    render_box).astype(jnp.uint16),)
             return out
 
         self._fused[key] = fused
@@ -201,12 +207,17 @@ class StarDist3D:
             prob_thresh = self._thresholds["prob"]
         if nms_thresh is None:
             nms_thresh = self._thresholds["nms"]
-        x = np.asarray(x)
+        if not isinstance(x, jax.Array):
+            x = np.asarray(x)       # device arrays pass through un-fetched
         mi, ma = norm_minmax
-        fused = self._get_fused(x.shape, return_labels, x.dtype.str)
+        fused = self._get_fused(x.shape, return_labels,
+                                np.dtype(x.dtype).str)
+        # np scalars ride along inside the (async) execute call; explicit
+        # jnp scalars would each cost a synchronous upload RPC on a
+        # high-latency link
         out = fused(self.params, jnp.asarray(x),
-                    jnp.float32(mi), jnp.float32(ma),
-                    jnp.float32(prob_thresh), jnp.float32(nms_thresh))
+                    np.float32(mi), np.float32(ma),
+                    np.float32(prob_thresh), np.float32(nms_thresh))
         if return_labels:
             kept, probs, dists, points, prob_map, labels_dev = out
         else:
@@ -217,6 +228,7 @@ class StarDist3D:
         """ONE device->host transfer + host-side selection."""
         fetched = jax.device_get(device_tuple)
         kept_np, probs_np, dists_np, points_np, prob_map_np, labels = fetched
+        prob_map_np = np.asarray(prob_map_np, np.float32)
         order = np.argsort(-np.where(kept_np, probs_np, -np.inf))
         sel = order[: int(kept_np.sum())]
         details: Dict[str, np.ndarray] = {
@@ -398,8 +410,8 @@ class StarDist3D:
                           o[2]:o[2] + tiles[2]]
             og = tuple(v // g for v, g in zip(o, grid))
             out = prog(self.params, jnp.asarray(tile),
-                       jnp.float32(mi), jnp.float32(ma),
-                       jnp.asarray(og, jnp.int32), jnp.float32(prob_thresh))
+                       np.float32(mi), np.float32(ma),
+                       np.asarray(og, np.int32), np.float32(prob_thresh))
             prob_c, top_p, dists, pts, valid = jax.device_get(out)
             ext = tuple(min(c, gs - oo)
                         for c, gs, oo in zip(c_g, gshape, og))
@@ -421,7 +433,7 @@ class StarDist3D:
         combine = self._get_combine_program(len(order), vol, return_labels)
         out = combine(jnp.asarray(probs), jnp.asarray(dists),
                       jnp.asarray(points), jnp.asarray(valid),
-                      jnp.float32(nms_thresh))
+                      np.float32(nms_thresh))
         if return_labels:
             kept, labels = jax.device_get(out)
         else:
@@ -507,12 +519,20 @@ def predict_and_save(images_path, model: StarDist3D,
     def _load_raw(t):
         x = load_2d_slices_at_time(images_path, t=t, do_normalize=False)
         mi, ma = np.percentile(x, [1.0, 99.8])
-        return x, float(mi), float(ma)
+        # the h2d upload happens here ON the prefetch thread, overlapping
+        # the (link-latency-bound) transfer with the previous volume's
+        # dispatch and the saver's d2h
+        return jnp.asarray(x), float(mi), float(ma)
 
+    # 2 loader workers + 2 savers: every volume costs one h2d and one d2h
+    # RPC whose ~100 ms is link LATENCY, not bandwidth or CPU — paired
+    # threads overlap those waits (ThreadPoolExecutor releases the GIL in
+    # the transfer calls), halving the steady-state wall per volume
     loader = VolumePrefetcher(_load_raw, range(t_min, t_max + 1),
-                              depth=prefetch_depth)
+                              depth=prefetch_depth, workers=2)
 
-    save_q: "queue.Queue" = queue.Queue(maxsize=prefetch_depth)
+    n_savers = 2
+    save_q: "queue.Queue" = queue.Queue(maxsize=prefetch_depth + n_savers)
     errors = []
 
     def saver():
@@ -533,13 +553,18 @@ def predict_and_save(images_path, model: StarDist3D,
             except Exception as e:   # surface on the main thread
                 errors.append(e)
 
-    saver_thread = threading.Thread(target=saver, daemon=True)
-    saver_thread.start()
+    saver_threads = [threading.Thread(target=saver, daemon=True)
+                     for _ in range(n_savers)]
+    for th in saver_threads:
+        th.start()
     done_t = t_min - 1
     try:
         for t, (x, mi, ma) in loader:
+            # labels are only persisted for vol 1 (auto_vol1); skipping the
+            # render + 3-6 MB label transfer for every other volume is the
+            # single biggest per-volume saving on a thin device link
             save_q.put((t, model._predict_instances_device(
-                x, norm_minmax=(mi, ma))))
+                x, norm_minmax=(mi, ma), return_labels=(t == t_min))))
             done_t = t
             if errors:
                 raise errors[0]
@@ -547,8 +572,10 @@ def predict_and_save(images_path, model: StarDist3D,
         print(f"Warning: segmentation stopped; images at t={done_t + 1} "
               "cannot be loaded!")
     finally:
-        save_q.put(None)
-        saver_thread.join()
+        for _ in saver_threads:
+            save_q.put(None)
+        for th in saver_threads:
+            th.join()
     if errors:
         raise errors[0]
     print(f"All images from t={t_min} to t={done_t} have been segmented")

@@ -78,18 +78,27 @@ class CoordsToImageTransformer:
         bx, by, bz = ext.max(axis=0)
         return int(bx), int(by), int(bz)
 
-    def _extract_regions(self, segmentation: np.ndarray,
-                         interpolation_factor: int, smooth_sigma: float):
-        n_cells = int(segmentation.max())
-        box_shape = self._box_shape_for(segmentation, n_cells)
+    def _extract_regions(self, segmentation, interpolation_factor: int,
+                         smooth_sigma: float, n_cells: Optional[int] = None,
+                         box_shape: Optional[Tuple[int, int, int]] = None):
+        """Atlas + resynthesized vol-1 labels.  ``segmentation`` may be a
+        host OR device array; the returned labels stay ON DEVICE — the
+        interpolate pipeline chains several of these stages, and round-
+        tripping the (x, y, z) int32 volume between every stage costs more
+        in link transfers than all the compute."""
+        seg_dev = jnp.asarray(segmentation)
+        if n_cells is None:
+            n_cells = int(jnp.max(seg_dev))
+        if box_shape is None:
+            box_shape = self._box_shape_for(seg_dev, n_cells)
         atlas = build_subregion_atlas(
-            jnp.asarray(segmentation), n_cells=n_cells, box_shape=box_shape,
+            seg_dev, n_cells=n_cells, box_shape=box_shape,
             interpolation_factor=interpolation_factor,
             smooth_sigma=smooth_sigma)
         labels, overlap = move_cells_sampled(atlas)
         auto_corrected = recalculate_cell_boundaries(
             labels, overlap, sampling_xy=self.voxel_size[:2])
-        return atlas, np.asarray(auto_corrected)
+        return atlas, auto_corrected
 
     def interpolate(self, interpolation_factor: int,
                     smooth_sigma: float = 2.5, t_start: int = 1) -> None:
@@ -101,22 +110,34 @@ class CoordsToImageTransformer:
             raise RuntimeError("call load_segmentation first")
         self.interpolation_factor = int(interpolation_factor)
 
-        _, smoothed_labels = self._extract_regions(
-            self.proofed_segmentation, self.interpolation_factor,
-            smooth_sigma)
+        # the whole chain (smooth -> fix labels -> rebuild atlas ->
+        # resynthesize) stays device-resident; only two scalars and the
+        # final uint16 label volume come back to host
+        n_cells0 = int(self.proofed_segmentation.max())
+        seg_dev = jnp.asarray(self.proofed_segmentation)
+        box_shape = self._box_shape_for(seg_dev, n_cells0)
+        _, smoothed_dev = self._extract_regions(
+            seg_dev, self.interpolation_factor, smooth_sigma,
+            n_cells=n_cells0, box_shape=box_shape)
 
-        # fix_labeling_errors (coord_image_transformer.py:624-647)
-        n_before = int(np.count_nonzero(np.unique(smoothed_labels)))
-        corrected = np.asarray(label_components_values(
-            jnp.asarray(smoothed_labels), connectivity=3,
-            max_labels=max(64, 2 * n_before + 8)))
-        if int(corrected.max()) != n_before:
+        # fix_labeling_errors (coord_image_transformer.py:624-647);
+        # n_before counts the labels that SURVIVED smoothing
+        present = jnp.bincount(jnp.ravel(smoothed_dev),
+                               length=n_cells0 + 1)[1:] > 0
+        n_before = int(jnp.sum(present))
+        corrected_dev = label_components_values(
+            smoothed_dev, connectivity=3,
+            max_labels=max(64, 2 * n_before + 8))
+        n_after = int(jnp.max(corrected_dev))
+        if n_after != n_before:
             print(f"WARNING: cell count changed {n_before} -> "
-                  f"{int(corrected.max())}; segmentation corrected.")
+                  f"{n_after}; segmentation corrected.")
 
-        self.atlas, self.auto_corrected_segmentation = \
-            self._extract_regions(corrected, self.interpolation_factor,
-                                  smooth_sigma)
+        self.atlas, auto_dev = self._extract_regions(
+            corrected_dev, self.interpolation_factor, smooth_sigma,
+            n_cells=n_after, box_shape=box_shape)
+        self.auto_corrected_segmentation = np.asarray(
+            auto_dev.astype(jnp.uint16)).astype(np.int32)
         self.use_8_bit = int(self.auto_corrected_segmentation.max()) <= 255
 
         self.tree.save_tracked_labels(self.auto_corrected_segmentation,
@@ -204,12 +225,17 @@ class CoordsToImageTransformer:
         return corrected, corrected_labels
 
     # ---- persistence (coord_image_transformer.py:491-558) ------------------
-    def save_tracking_results(self, coords: Coordinates,
+    def save_tracking_results(self, coords,
                               corrected_labels_image: np.ndarray,
                               t2: int,
                               images_path=None, tracker=None,
                               t1: Optional[int] = None) -> None:
-        self.tree.save_coords_real(t2, np.asarray(coords.real))
+        """``coords``: a Coordinates, or an already-fetched (n, 3) REAL
+        ndarray (lets callers batch the device->host fetch with the label
+        image — one RPC instead of two on high-latency links)."""
+        real = (np.asarray(coords) if isinstance(coords, np.ndarray)
+                else np.asarray(coords.real))
+        self.tree.save_coords_real(t2, real)
         self.tree.save_tracked_labels(corrected_labels_image, t2,
                                       self.use_8_bit)
         if images_path is not None:

@@ -60,6 +60,41 @@ def imread_volume(path: str) -> np.ndarray:
         return out
 
 
+def imwrite_volume(path: str, vol: np.ndarray,
+                   compression: str = None) -> None:
+    """Write a (z, h, w) volume as one multi-page TIFF (the tifffile
+    ``imwrite`` role — e.g. for creating per-volume StarDist training
+    files readable by ``imread_volume`` / ``load_training_images``).
+    ``compression``: None or 'tiff_lzw'."""
+    vol = np.asarray(vol)
+    if vol.ndim == 2:
+        vol = vol[None]
+    frames = [Image.fromarray(z) for z in vol]
+    kwargs = {"compression": compression} if compression else {}
+    frames[0].save(str(path), save_all=True, append_images=frames[1:],
+                   **kwargs)
+
+
+def save_recording_h5(h5_file: str, volumes, dset: str = "default",
+                      n_channels: int = 1) -> None:
+    """Write a recording as the (T, C, Z, Y, X) HDF5 dataset layout that
+    ``load_2d_slices_at_time`` / ``get_t_range`` consume (the reference
+    only READS this layout, ``stardistwrapper.py:62-70``; the writer is an
+    extension so TIFF recordings can be converted once and streamed from a
+    single file).  ``volumes``: array or sequence of (z, y, x) volumes, or
+    (T, C, Z, Y, X) directly."""
+    import h5py
+
+    arr = np.asarray(volumes)
+    if arr.ndim == 4:                     # (T, Z, Y, X) -> single channel
+        arr = arr[:, None]
+    if arr.ndim != 5:
+        raise ValueError(f"expected (T,[C,]Z,Y,X), got shape {arr.shape}")
+    with h5py.File(str(h5_file), "w") as f:
+        f.create_dataset(dset, data=arr, chunks=(1, 1) + arr.shape[2:],
+                         compression="gzip", compression_opts=1)
+
+
 def imread_stack(paths: List[str]) -> np.ndarray:
     """Stack 2-D slices into (z, h, w); native threaded decode when
     available (grayscale TIFF), PIL otherwise."""

@@ -75,7 +75,10 @@ class TrainStarDist3D:
         self.config = config
         self.net = StarDist3DNet(config)
         self.params = self.net.init(jax.random.PRNGKey(seed))
-        self.optimizer = optax.adam(learning_rate)
+        # inject_hyperparams keeps the learning rate in opt_state so
+        # ReduceLROnPlateau can rescale it between epochs without retracing
+        self.optimizer = optax.inject_hyperparams(optax.adam)(
+            learning_rate=learning_rate)
         self.opt_state = self.optimizer.init(self.params)
         self.rays = jnp.asarray(
             rays_golden_spiral(config.n_rays, config.anisotropy))
@@ -99,6 +102,8 @@ class TrainStarDist3D:
         else:
             self._step = jax.jit(self._train_step)
         self._make_gt = jax.jit(jax.vmap(self._gt_impl))
+        self._eval_loss = None
+        self.val_losses: List[float] = []
 
     # ---- GT -------------------------------------------------------------
     def _gt_impl(self, labels):
@@ -141,16 +146,52 @@ class TrainStarDist3D:
         return augmenter(xp.astype(np.float32), yp.astype(np.int32),
                          self.rng)
 
+    @property
+    def learning_rate(self) -> float:
+        return float(self.opt_state.hyperparams["learning_rate"])
+
+    def _val_loss(self, val_batches) -> float:
+        if self._eval_loss is None:
+            self._eval_loss = jax.jit(self._loss)
+        return float(np.mean([
+            float(self._eval_loss(self.params, xb, pg, dg))
+            for xb, pg, dg in val_batches]))
+
     # ---- loop ------------------------------------------------------------
     def train(self, X: List[np.ndarray], Y: List[np.ndarray],
               epochs: int = 10, steps_per_epoch: int = 100,
+              X_val: Optional[List[np.ndarray]] = None,
+              Y_val: Optional[List[np.ndarray]] = None,
+              lr_reduce_factor: float = 0.5, lr_patience: int = 40,
+              n_val_batches: int = 4, keep_best: bool = True,
               verbose: bool = True) -> List[float]:
+        """Reference training protocol (Keras ``model.train`` with
+        stardist's default callbacks): optional validation volumes give a
+        per-epoch val loss, ``ReduceLROnPlateau(factor, patience)`` on it,
+        and best-val weights are kept (ModelCheckpoint save_best_only).
+        Without X_val this is the plain loop."""
         for x, y in zip(X, Y):
             for s, p in zip(x.shape, self.config.train_patch_size):
                 if s < p:
                     raise ValueError(
                         f"volume shape {x.shape} smaller than patch "
                         f"{self.config.train_patch_size}")
+        val_batches = []
+        if X_val is not None:
+            val_rng_state = self.rng.get_state()
+            self.rng.seed(12345)         # fixed val patches across epochs
+            for _ in range(n_val_batches):
+                pairs = [self._sample_patch(X_val, Y_val)
+                         for _ in range(self.batch_size)]
+                xb = jnp.asarray(np.stack(
+                    [np.ascontiguousarray(x) for x, _ in pairs]))
+                yb = jnp.asarray(np.stack(
+                    [np.ascontiguousarray(y) for _, y in pairs]))
+                pg, dg = self._make_gt(yb)
+                val_batches.append((xb, pg, dg))
+            self.rng.set_state(val_rng_state)
+        self.val_losses: List[float] = []
+        best_val, best_params, plateau = np.inf, None, 0
         losses = []
         for epoch in range(1, epochs + 1):
             total = 0.0
@@ -173,8 +214,28 @@ class TrainStarDist3D:
                     self.params, self.opt_state, xb, prob_gt, dist_gt)
                 total += float(loss)
             losses.append(total / steps_per_epoch)
+            msg = f"epoch {epoch}: loss {losses[-1]:.4f}"
+            if val_batches:
+                vl = self._val_loss(val_batches)
+                self.val_losses.append(vl)
+                msg += f", val_loss {vl:.4f}, lr {self.learning_rate:.2e}"
+                if vl < best_val - 1e-9:
+                    best_val, plateau = vl, 0
+                    if keep_best:
+                        best_params = jax.tree_util.tree_map(
+                            lambda a: np.asarray(a), self.params)
+                else:
+                    plateau += 1
+                    if plateau >= lr_patience:
+                        self.opt_state.hyperparams["learning_rate"] = \
+                            jnp.asarray(self.learning_rate
+                                        * lr_reduce_factor, jnp.float32)
+                        plateau = 0
+                        msg += " (lr reduced)"
             if verbose:
-                print(f"epoch {epoch}: loss {losses[-1]:.4f}")
+                print(msg)
+        if keep_best and best_params is not None:
+            self.params = jax.tree_util.tree_map(jnp.asarray, best_params)
         self.save()
         return losses
 

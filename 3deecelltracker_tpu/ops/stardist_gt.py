@@ -78,11 +78,16 @@ def star_dist3d(labels: jax.Array, rays: jax.Array, max_dist: int = 32,
     return jnp.moveaxis(dists, 0, -1)
 
 
-@functools.partial(jax.jit, static_argnames=("max_labels", "anisotropy"))
+@functools.partial(jax.jit, static_argnames=("max_labels", "anisotropy",
+                                             "window"))
 def edt_prob(labels: jax.Array, max_labels: int = 1024,
-             anisotropy: Tuple[float, float, float] = (1.0, 1.0, 1.0)
-             ) -> jax.Array:
-    """Per-object EDT normalized to max 1 (stardist ``edt_prob``)."""
+             anisotropy: Tuple[float, float, float] = (1.0, 1.0, 1.0),
+             window: int = None) -> jax.Array:
+    """Per-object EDT normalized to max 1 (stardist ``edt_prob``).
+
+    ``window``: search radius in voxels for the EDT passes (exact whenever
+    every cell radius is below it).  Set it for zebrafish-scale training
+    volumes — O(L*window) per line instead of O(L^2)."""
     # zero set: background + voxels touching a different label
     offsets = neighbor_offsets(labels.ndim, 1)
     diff_neighbor = jnp.zeros(labels.shape, bool)
@@ -90,7 +95,7 @@ def edt_prob(labels: jax.Array, max_labels: int = 1024,
         n = shift(labels, off, 0)
         diff_neighbor |= (n != labels)
     interior = (labels > 0) & ~diff_neighbor
-    d = distance_transform_edt(interior, anisotropy) + \
+    d = distance_transform_edt(interior, anisotropy, window=window) + \
         (labels > 0).astype(jnp.float32)  # boundary voxels get ~1
     seg = jnp.clip(labels.reshape(-1), 0, max_labels)
     per_max = jnp.zeros((max_labels + 1,), jnp.float32).at[seg].max(

@@ -181,7 +181,9 @@ def save_merged_labels(tree, corrected_labels_image, images_path, t: int,
     """Overlay of labels + raw, x-y and x-z max projections
     (coord_image_transformer.py:524-558)."""
     from .io.imageio import load_2d_slices_at_time
-    lab = np.asarray(corrected_labels_image)
+    # int64: narrow (uint8/16) label dtypes overflow under NumPy 2 casting
+    # when taken mod the 65536-entry colormap
+    lab = np.asarray(corrected_labels_image).astype(np.int64)
     labels_rgb = lbl_cmap.colors[lab.max(axis=2) % len(lbl_cmap.colors)]
     labels_rgb = Image.fromarray((labels_rgb * 255).astype(np.uint8))
     labels_rgb_xz = lbl_cmap.colors[lab.max(axis=0) % len(lbl_cmap.colors)]
@@ -247,7 +249,7 @@ def draw_segresult(image3d, segmentation3d, percentile_top=99.9,
     """Per-z ArtistAnimation of the segmentation (tracker.py:212-252)."""
     from matplotlib import animation
     img = np.asarray(image3d)
-    seg = np.asarray(segmentation3d)
+    seg = np.asarray(segmentation3d).astype(np.int64)
     vmax = np.percentile(img, percentile_top)
     vmin = np.percentile(img, percentile_bottom)
     fig, (a, b) = plt.subplots(1, 2, figsize=(14, 7))
@@ -267,7 +269,8 @@ def draw_manual_seg1(manual_segmentation3d):
     """Max projection of the manually corrected vol-1 labels
     (tracker.py:254-262)."""
     fig, ax = plt.subplots(figsize=(10, 10))
-    ax.imshow(np.max(np.asarray(manual_segmentation3d), axis=2)
+    ax.imshow(np.max(np.asarray(manual_segmentation3d).astype(np.int64),
+                     axis=2)
               % len(lbl_cmap.colors), cmap=lbl_cmap, interpolation="none")
     ax.set_title("Manual segmentation at vol 1 (max projection)")
     return fig
@@ -313,7 +316,7 @@ def draw_matching_6panel(raw_img3d, tracked_labels, r_coor_predicted,
     tracked labels, and prediction arrow plots."""
     fig, axs = plt.subplots(3, 2, figsize=(14, 14))
     raw = np.asarray(raw_img3d)
-    lab = np.asarray(tracked_labels)
+    lab = np.asarray(tracked_labels).astype(np.int64)
     axs[0, 0].imshow(raw.max(axis=2), cmap="gray")
     axs[0, 0].set_title("raw (x-y projection)")
     axs[0, 1].imshow(np.repeat(raw.max(axis=0).T, max(1, int(z_xy_ratio)),
@@ -370,7 +373,8 @@ def draw_segmentation_max_projection(image3d, labels3d, path: Optional[str]
     fig, (a, b) = plt.subplots(1, 2, figsize=(14, 7))
     a.imshow(np.max(image3d, axis=2), cmap="gray")
     a.set_title("raw (max projection)")
-    b.imshow(np.max(labels3d, axis=2) % len(lbl_cmap.colors),
+    b.imshow(np.max(np.asarray(labels3d).astype(np.int64), axis=2)
+             % len(lbl_cmap.colors),
              cmap=lbl_cmap, interpolation="none")
     b.set_title("segmentation")
     if path:

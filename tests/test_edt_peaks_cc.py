@@ -108,3 +108,41 @@ def test_label_raw_ids_consistent():
     for g in np.unique(raw[raw > 0]):
         vals = np.unique(want[raw == g])
         assert len(vals) == 1
+
+
+@pytest.mark.parametrize("shape,sampling,seed", [
+    ((20, 20), (1.0, 1.0), 0),
+    ((20, 20), (1.0, 9.2), 1),
+    ((16, 18, 8), (1.0, 1.0, 9.2), 3),
+])
+def test_edt_windowed_matches_scipy(shape, sampling, seed):
+    """O(L*W) windowed passes: exact wherever true distances stay below the
+    window (dense random masks keep distances tiny)."""
+    mask = _random_mask(shape, 0.7, seed)
+    want = ndi.distance_transform_edt(mask, sampling=sampling)
+    W = int(np.ceil(want.max())) + 1
+    got = np.asarray(distance_transform_edt(mask, sampling, window=W))
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-4)
+
+
+def test_edt_windowed_saturates_beyond_window():
+    # single background voxel in a long line: distances past the window
+    # saturate instead of going exact — documented semantics
+    mask = np.ones((1, 64), bool)
+    mask[0, 0] = False
+    got = np.asarray(distance_transform_edt(mask, (1.0, 1.0), window=8))
+    np.testing.assert_allclose(got[0, 1:9], np.arange(1, 9), atol=1e-4)
+    assert np.all(got[0, 20:] > 100)
+
+
+def test_edt_prob_windowed_matches_dense():
+    from t3dct.ops.stardist_gt import edt_prob
+    import jax.numpy as jnp
+    lab = np.zeros((8, 24, 24), np.int32)
+    lab[2:6, 3:12, 4:13] = 1
+    lab[1:7, 14:21, 10:20] = 2
+    dense = np.asarray(edt_prob(jnp.asarray(lab), max_labels=4,
+                                anisotropy=(2.0, 1.0, 1.0)))
+    win = np.asarray(edt_prob(jnp.asarray(lab), max_labels=4,
+                              anisotropy=(2.0, 1.0, 1.0), window=12))
+    np.testing.assert_allclose(win, dense, rtol=1e-5, atol=1e-5)

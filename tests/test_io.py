@@ -102,3 +102,54 @@ def test_prefetcher_order_and_error():
     assert next(it) == (3, 30)
     with pytest.raises(FileNotFoundError):
         list(it)
+
+
+def test_imwrite_volume_roundtrip(tmp_path):
+    from t3dct.io.imageio import imread_volume, imwrite_volume
+    vol = (np.random.RandomState(3).rand(4, 9, 7) * 60000).astype(np.uint16)
+    imwrite_volume(tmp_path / "v.tif", vol)
+    np.testing.assert_array_equal(imread_volume(tmp_path / "v.tif"), vol)
+    imwrite_volume(tmp_path / "c.tif", vol, compression="tiff_lzw")
+    np.testing.assert_array_equal(imread_volume(tmp_path / "c.tif"), vol)
+
+
+def test_save_recording_h5_roundtrip(tmp_path):
+    from t3dct.io.imageio import (get_t_range, load_2d_slices_at_time,
+                                  save_recording_h5)
+    rec = (np.random.RandomState(4).rand(3, 5, 8, 6) * 60000
+           ).astype(np.uint16)                      # (T, Z, Y, X)
+    h5 = tmp_path / "rec.h5"
+    save_recording_h5(h5, rec)
+    spec = {"h5_file": str(h5), "dset": "default", "channel": 0}
+    assert get_t_range(spec) == (3, 1)
+    got = load_2d_slices_at_time(spec, t=2, do_normalize=False)
+    np.testing.assert_array_equal(got, rec[1])
+
+
+def test_prefetcher_parallel_workers():
+    """workers>1: ordered delivery, in-order first-error propagation, all
+    loads issued concurrently up to the window."""
+    import threading
+    import time
+
+    from t3dct.io.prefetch import VolumePrefetcher
+
+    seen = []
+    lock = threading.Lock()
+
+    def load(t):
+        with lock:
+            seen.append(t)
+        time.sleep(0.01 * ((t * 7) % 3))      # scramble completion order
+        if t == 4:
+            raise FileNotFoundError(t)
+        return t * 10
+
+    got = list(VolumePrefetcher(load, [1, 2, 3], depth=2, workers=3))
+    assert got == [(1, 10), (2, 20), (3, 30)]
+
+    it = iter(VolumePrefetcher(load, [2, 3, 4, 5], depth=1, workers=2))
+    assert next(it) == (2, 20)
+    assert next(it) == (3, 30)
+    with pytest.raises(FileNotFoundError):
+        next(it)

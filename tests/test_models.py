@@ -95,3 +95,43 @@ def test_ffn_pair_scores_chunked():
     a = np.asarray(ffn_pair_scores(params, state, ref, tgt))
     b = np.asarray(ffn_pair_scores(params, state, ref, tgt, row_chunk=5))
     np.testing.assert_allclose(a, b, rtol=1e-5, atol=1e-6)
+
+
+def test_train_stardist_val_plateau_and_lr_reduce(tmp_path):
+    """Validation tracking + ReduceLROnPlateau + best-weights keep
+    (reference stardist Keras callbacks: ReduceLROnPlateau(factor,
+    patience) on val_loss, save_best_only checkpointing)."""
+    import numpy as np
+    from t3dct.config import StarDistConfig
+    from t3dct.models.train_stardist import TrainStarDist3D
+
+    cfg = StarDistConfig(n_rays=4, grid=(1, 2, 2), anisotropy=(1., 1., 1.),
+                         unet_n_depth=1, unet_n_filter_base=4,
+                         net_conv_after_unet=8,
+                         train_patch_size=(8, 16, 16))
+    tr = TrainStarDist3D(cfg, basedir=tmp_path, max_dist=6,
+                         learning_rate=1e-3, seed=0, batch_size=1)
+    rng = np.random.RandomState(0)
+    img = rng.rand(8, 16, 16).astype(np.float32)
+    lab = np.zeros((8, 16, 16), np.int32)
+    lab[2:6, 4:10, 4:10] = 1
+
+    lr0 = tr.learning_rate
+    # force a plateau: constant val loss -> lr halves at every epoch after
+    # the first (patience=1), proving the mechanism end to end
+    tr._val_loss = lambda batches: 1.0
+    tr.train([img], [lab], epochs=3, steps_per_epoch=2,
+             X_val=[img], Y_val=[lab], lr_patience=1,
+             lr_reduce_factor=0.5, n_val_batches=1, verbose=False)
+    assert tr.val_losses == [1.0, 1.0, 1.0]
+    assert abs(tr.learning_rate - lr0 / 4) < 1e-9
+
+    # real val loss path: finite values recorded, lr untouched with large
+    # patience
+    tr2 = TrainStarDist3D(cfg, basedir=tmp_path / "b", max_dist=6,
+                          learning_rate=1e-3, seed=0, batch_size=1)
+    tr2.train([img], [lab], epochs=2, steps_per_epoch=2,
+              X_val=[img], Y_val=[lab], lr_patience=40, verbose=False)
+    assert len(tr2.val_losses) == 2
+    assert all(np.isfinite(v) for v in tr2.val_losses)
+    assert abs(tr2.learning_rate - 1e-3) < 1e-9

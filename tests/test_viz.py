@@ -31,7 +31,10 @@ def test_plot_initial_matching():
 def test_6panel_and_segresult(tmp_path):
     rng = np.random.RandomState(1)
     raw = rng.rand(30, 40, 4)
-    lab = (rng.rand(30, 40, 4) * 5).astype(np.int32)
+    # uint8: the tracking saver ships 8-bit label volumes when ids fit;
+    # the 65536-entry colormap modulo must not overflow narrow dtypes
+    # (NumPy 2 rejects the out-of-range python-int cast)
+    lab = (rng.rand(30, 40, 4) * 5).astype(np.uint8)
     ref, tgt = _scene(8)
     fig = viz.draw_matching_6panel(raw, lab, tgt, tgt, ref, 2.0,
                                    path=str(tmp_path / "p.png"))
