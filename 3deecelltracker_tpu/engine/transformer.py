@@ -15,6 +15,7 @@ from glob import glob
 from pathlib import Path
 from typing import Optional, Set, Tuple, Union
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -78,6 +79,23 @@ class CoordsToImageTransformer:
         bx, by, bz = ext.max(axis=0)
         return int(bx), int(by), int(bz)
 
+    @staticmethod
+    def _box_shape_np(segmentation: np.ndarray, n_cells: int
+                      ) -> Tuple[int, int, int]:
+        """Host-side twin of ``_box_shape_for`` for segmentations already
+        in host memory — the box shape is a STATIC shape parameter, so
+        computing it on device costs a blocking scalar round-trip
+        (~100 ms through a remote link) before anything can trace."""
+        import scipy.ndimage as ndi
+
+        ext = np.ones((max(n_cells, 1), 3), np.int64)
+        for i, sl in enumerate(ndi.find_objects(segmentation,
+                                                max_label=n_cells)):
+            if sl is not None:
+                ext[i] = [s.stop - s.start for s in sl]
+        bx, by, bz = ext.max(axis=0)
+        return int(bx), int(by), int(bz)
+
     def _extract_regions(self, segmentation, interpolation_factor: int,
                          smooth_sigma: float, n_cells: Optional[int] = None,
                          box_shape: Optional[Tuple[int, int, int]] = None):
@@ -111,24 +129,28 @@ class CoordsToImageTransformer:
         self.interpolation_factor = int(interpolation_factor)
 
         # the whole chain (smooth -> fix labels -> rebuild atlas ->
-        # resynthesize) stays device-resident; only two scalars and the
-        # final uint16 label volume come back to host
+        # resynthesize -> centers) stays device-resident with exactly TWO
+        # blocking round-trips: one paired scalar fetch (the post-smoothing
+        # and post-correction cell counts, both needed as static shape
+        # parameters) and one paired final fetch (uint16 labels + centers)
         n_cells0 = int(self.proofed_segmentation.max())
+        box_shape = self._box_shape_np(self.proofed_segmentation, n_cells0)
         seg_dev = jnp.asarray(self.proofed_segmentation)
-        box_shape = self._box_shape_for(seg_dev, n_cells0)
         _, smoothed_dev = self._extract_regions(
             seg_dev, self.interpolation_factor, smooth_sigma,
             n_cells=n_cells0, box_shape=box_shape)
 
         # fix_labeling_errors (coord_image_transformer.py:624-647);
-        # n_before counts the labels that SURVIVED smoothing
+        # n_before counts the labels that SURVIVED smoothing.  The relabel
+        # capacity only needs an upper bound, so the host-known n_cells0
+        # stands in for n_before and both counts fetch together.
         present = jnp.bincount(jnp.ravel(smoothed_dev),
                                length=n_cells0 + 1)[1:] > 0
-        n_before = int(jnp.sum(present))
         corrected_dev = label_components_values(
             smoothed_dev, connectivity=3,
-            max_labels=max(64, 2 * n_before + 8))
-        n_after = int(jnp.max(corrected_dev))
+            max_labels=max(64, 2 * n_cells0 + 8))
+        n_before, n_after = (int(v) for v in jax.device_get(
+            (jnp.sum(present), jnp.max(corrected_dev))))
         if n_after != n_before:
             print(f"WARNING: cell count changed {n_before} -> "
                   f"{n_after}; segmentation corrected.")
@@ -136,19 +158,18 @@ class CoordsToImageTransformer:
         self.atlas, auto_dev = self._extract_regions(
             corrected_dev, self.interpolation_factor, smooth_sigma,
             n_cells=n_after, box_shape=box_shape)
-        self.auto_corrected_segmentation = np.asarray(
-            auto_dev.astype(jnp.uint16)).astype(np.int32)
+        com_dev = center_of_mass(
+            (auto_dev > 0).astype(jnp.float32), auto_dev, n_after)
+        auto_np, com = jax.device_get((auto_dev.astype(jnp.uint16), com_dev))
+        self.auto_corrected_segmentation = np.asarray(auto_np).astype(
+            np.int32)
         self.use_8_bit = int(self.auto_corrected_segmentation.max()) <= 255
 
         self.tree.save_tracked_labels(self.auto_corrected_segmentation,
                                       t_start, self.use_8_bit)
 
-        n_cells = self.atlas.n_cells
-        com = np.asarray(center_of_mass(
-            jnp.asarray(self.auto_corrected_segmentation > 0, jnp.float32),
-            jnp.asarray(self.auto_corrected_segmentation), n_cells))
         self.coord_vol1 = Coordinates.from_raw(
-            com, self.interpolation_factor, self.voxel_size)
+            np.asarray(com), self.interpolation_factor, self.voxel_size)
         self.tree.save_coords_real(t_start, np.asarray(self.coord_vol1.real))
 
     # ---- label synthesis (coord_image_transformer.py:269-369) --------------

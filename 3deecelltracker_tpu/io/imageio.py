@@ -202,11 +202,19 @@ def save_label_slices(labels_xyz: np.ndarray, out_dir: Union[str, Path],
     out = Path(out_dir)
     out.mkdir(parents=True, exist_ok=True)
     dtype = np.uint8 if use_8_bit else np.uint16
-    for z in range(1, labels_xyz.shape[2] + 1):
-        img2d = np.asarray(labels_xyz[:, :, z - 1]).astype(dtype)
-        with Image.fromarray(img2d) as img:
-            img.save(str(out / (name_pattern % (t, z))),
-                     compression=compression)
+    arr = np.asarray(labels_xyz).astype(dtype)
+    paths = [str(out / (name_pattern % (t, z)))
+             for z in range(1, arr.shape[2] + 1)]
+    if compression in (None, "tiff_lzw"):
+        # native threaded writer: C LZW with the GIL released (~5x PIL on
+        # this host, and the saver threads overlap encode with transfers)
+        from ..native.tiff import tiff_write_volume
+        if tiff_write_volume(paths, np.ascontiguousarray(
+                arr.transpose(2, 0, 1)), lzw=compression == "tiff_lzw"):
+            return
+    for z, path in enumerate(paths):
+        with Image.fromarray(arr[:, :, z]) as img:
+            img.save(path, compression=compression)
 
 
 def save_volume_slices(labels_xyz: np.ndarray, out_dir: Union[str, Path],
@@ -217,6 +225,13 @@ def save_volume_slices(labels_xyz: np.ndarray, out_dir: Union[str, Path],
     out.mkdir(parents=True, exist_ok=True)
     arr = np.asarray(labels_xyz)
     dtype = np.uint8 if arr.max() <= 255 else np.uint16
-    for z in range(1, arr.shape[2] + 1):
-        with Image.fromarray(arr[:, :, z - 1].astype(dtype)) as img:
-            img.save(str(out / (name_pattern % z)))
+    arr = arr.astype(dtype)
+    paths = [str(out / (name_pattern % z))
+             for z in range(1, arr.shape[2] + 1)]
+    from ..native.tiff import tiff_write_volume
+    if tiff_write_volume(paths, np.ascontiguousarray(arr.transpose(2, 0, 1)),
+                         lzw=False):
+        return
+    for z, path in enumerate(paths):
+        with Image.fromarray(arr[:, :, z]) as img:
+            img.save(path)

@@ -45,6 +45,13 @@ def _build() -> Optional[ctypes.CDLL]:
         lib.t3dct_tiff_write.argtypes = [
             ctypes.c_char_p, ctypes.POINTER(ctypes.c_uint16), ctypes.c_int,
             ctypes.c_int, ctypes.c_int]
+        lib.t3dct_tiff_write_lzw.argtypes = [
+            ctypes.c_char_p, ctypes.POINTER(ctypes.c_uint16), ctypes.c_int,
+            ctypes.c_int, ctypes.c_int]
+        lib.t3dct_tiff_write_volume.argtypes = [
+            ctypes.POINTER(ctypes.c_char_p), ctypes.c_int,
+            ctypes.POINTER(ctypes.c_uint16), ctypes.c_int, ctypes.c_int,
+            ctypes.c_int, ctypes.c_int, ctypes.c_int]
         return lib
     except Exception:
         _build_failed = True
@@ -113,15 +120,33 @@ def tiff_read_volume(paths: List[str],
     return out.astype(np.uint8) if bits == 8 else out
 
 
-def tiff_write(path: str, img: np.ndarray) -> bool:
-    """Write a 2-D uint8/uint16 grayscale TIFF (uncompressed)."""
+def tiff_write(path: str, img: np.ndarray, lzw: bool = False) -> bool:
+    """Write a 2-D uint8/uint16 grayscale TIFF (uncompressed or LZW)."""
     lib = _get_lib()
     if lib is None or img.ndim != 2:
         return False
     bits = 8 if img.dtype == np.uint8 else 16
     buf = np.ascontiguousarray(img, np.uint16)
-    rc = lib.t3dct_tiff_write(
-        str(path).encode(),
+    fn = lib.t3dct_tiff_write_lzw if lzw else lib.t3dct_tiff_write
+    rc = fn(str(path).encode(),
+            buf.ctypes.data_as(ctypes.POINTER(ctypes.c_uint16)),
+            img.shape[1], img.shape[0], bits)
+    return rc == 0
+
+
+def tiff_write_volume(paths: List[str], vol: np.ndarray,
+                      lzw: bool = True, n_threads: int = 0) -> bool:
+    """Write a (z, h, w) stack of uint8/uint16 slices in parallel (the
+    label-output hot path: LZW encode in C with the GIL released, so the
+    pipeline's saver threads overlap encode with transfers)."""
+    lib = _get_lib()
+    if lib is None or vol.ndim != 3 or len(paths) != vol.shape[0]:
+        return False
+    bits = 8 if vol.dtype == np.uint8 else 16
+    buf = np.ascontiguousarray(vol, np.uint16)
+    arr = (ctypes.c_char_p * len(paths))(*[str(p).encode() for p in paths])
+    rc = lib.t3dct_tiff_write_volume(
+        arr, len(paths),
         buf.ctypes.data_as(ctypes.POINTER(ctypes.c_uint16)),
-        img.shape[1], img.shape[0], bits)
+        vol.shape[2], vol.shape[1], bits, 5 if lzw else 1, n_threads)
     return rc == 0

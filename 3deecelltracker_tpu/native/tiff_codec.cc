@@ -226,6 +226,125 @@ int decode_into(const TiffInfo& info, const std::vector<uint8_t>& d,
   return 0;
 }
 
+// TIFF-variant LZW encode (no predictor): MSB-first codes, emit Clear
+// first, early code-width change (bump when next_code hits 511/1023/2047),
+// table reset at 4094.  Dictionary is a versioned flat array over
+// (prefix code, byte) so resets are O(1) — no memset per Clear.
+void lzw_encode(const uint8_t* src, size_t n, std::vector<uint8_t>* out) {
+  constexpr int kClear = 256, kEoi = 257, kResetAt = 4094;
+  // entry: (version << 12) | code, keyed by prefix * 256 + byte
+  static thread_local std::vector<uint32_t> table;
+  static thread_local uint32_t version = 0;
+  if (table.empty()) table.assign(4096 * 256, 0);
+  uint64_t acc = 0;
+  int acc_bits = 0;
+  auto put = [&](int code, int bits) {
+    acc = (acc << bits) | uint32_t(code);
+    acc_bits += bits;
+    while (acc_bits >= 8) {
+      out->push_back(uint8_t(acc >> (acc_bits - 8)));
+      acc_bits -= 8;
+    }
+  };
+  int bits = 9;
+  int next_code = 258;
+  auto reset = [&]() {
+    ++version;
+    if (version == (1u << 20)) {  // version field is 20 bits
+      std::fill(table.begin(), table.end(), 0u);
+      version = 1;
+    }
+    bits = 9;
+    next_code = 258;
+  };
+  reset();
+  put(kClear, bits);
+  if (n == 0) {
+    put(kEoi, bits);
+  } else {
+    int prefix = src[0];
+    for (size_t i = 1; i < n; ++i) {
+      uint8_t c = src[i];
+      uint32_t key = uint32_t(prefix) * 256u + c;
+      uint32_t e = table[key];
+      if ((e >> 12) == version) {
+        prefix = int(e & 0xFFF);
+        continue;
+      }
+      put(prefix, bits);
+      table[key] = (version << 12) | uint32_t(next_code);
+      ++next_code;
+      // the decoder defines each entry one code later than the encoder,
+      // so its width check (next_code >= (1<<bits)-1) fires at the same
+      // stream position as this one
+      if (next_code == (1 << bits) && bits < 12) ++bits;
+      if (next_code >= kResetAt) {
+        put(kClear, bits);
+        reset();
+      }
+      prefix = c;
+    }
+    put(prefix, bits);
+    put(kEoi, bits);
+  }
+  if (acc_bits > 0)
+    out->push_back(uint8_t(acc << (8 - acc_bits)));
+}
+
+// shared writer core: single-strip grayscale TIFF, optional LZW
+int write_tiff(const char* path, const uint16_t* data, int width,
+               int height, int bits, int compression) {
+  if (bits != 8 && bits != 16) return 6;
+  if (compression != 1 && compression != 5) return 5;
+  size_t bpp = bits / 8;
+  size_t n_px = size_t(width) * height;
+  size_t raw_bytes = n_px * bpp;
+  std::vector<uint8_t> px(raw_bytes);
+  if (bits == 8) {
+    for (size_t i = 0; i < n_px; ++i) px[i] = uint8_t(data[i]);
+  } else {
+    std::memcpy(px.data(), data, raw_bytes);
+  }
+  std::vector<uint8_t> enc;
+  const std::vector<uint8_t>* payload = &px;
+  if (compression == 5) {
+    enc.reserve(raw_bytes / 2);
+    lzw_encode(px.data(), raw_bytes, &enc);
+    payload = &enc;
+  }
+  FILE* f = std::fopen(path, "wb");
+  if (!f) return 1;
+  uint32_t data_off = 8;
+  uint32_t ifd_off = data_off + uint32_t(payload->size());
+  if (ifd_off & 1) ++ifd_off;
+  uint8_t header[8] = {'I', 'I', 42, 0};
+  std::memcpy(header + 4, &ifd_off, 4);
+  std::fwrite(header, 1, 8, f);
+  std::fwrite(payload->data(), 1, payload->size(), f);
+  if ((data_off + payload->size()) & 1) std::fputc(0, f);
+  auto entry = [&](uint16_t tag, uint16_t type, uint32_t count,
+                   uint32_t value) {
+    std::fwrite(&tag, 2, 1, f);
+    std::fwrite(&type, 2, 1, f);
+    std::fwrite(&count, 4, 1, f);
+    std::fwrite(&value, 4, 1, f);
+  };
+  uint16_t n_entries = 8;
+  std::fwrite(&n_entries, 2, 1, f);
+  entry(256, 3, 1, width);                     // ImageWidth
+  entry(257, 3, 1, height);                    // ImageLength
+  entry(258, 3, 1, bits);                      // BitsPerSample
+  entry(259, 3, 1, compression);               // Compression
+  entry(262, 3, 1, 1);                         // Photometric: BlackIsZero
+  entry(273, 4, 1, data_off);                  // StripOffsets
+  entry(278, 3, 1, height);                    // RowsPerStrip
+  entry(279, 4, 1, uint32_t(payload->size())); // StripByteCounts
+  uint32_t next = 0;
+  std::fwrite(&next, 4, 1, f);
+  std::fclose(f);
+  return 0;
+}
+
 }  // namespace
 
 extern "C" {
@@ -263,6 +382,36 @@ int t3dct_tiff_read_volume(const char** paths, int n, uint16_t* out,
   auto worker = [&](int tid) {
     for (int i = tid; i < n; i += n_threads) {
       status[i] = t3dct_tiff_read(paths[i], out + stride * i);
+    }
+  };
+  std::vector<std::thread> threads;
+  for (int t = 0; t < n_threads; ++t) threads.emplace_back(worker, t);
+  for (auto& t : threads) t.join();
+  for (int s : status)
+    if (s) return s;
+  return 0;
+}
+
+// write an LZW-compressed grayscale TIFF (bits 8 or 16)
+int t3dct_tiff_write_lzw(const char* path, const uint16_t* data, int width,
+                         int height, int bits) {
+  return write_tiff(path, data, width, height, bits, 5);
+}
+
+// write n same-shaped slices in parallel (compression 1=none, 5=LZW);
+// data is n * width * height uint16 values
+int t3dct_tiff_write_volume(const char** paths, int n, const uint16_t* data,
+                            int width, int height, int bits,
+                            int compression, int n_threads) {
+  if (n_threads <= 0) n_threads = std::thread::hardware_concurrency();
+  if (n_threads > n) n_threads = n;
+  if (n_threads < 1) n_threads = 1;
+  std::vector<int> status(n, 0);
+  size_t stride = size_t(width) * height;
+  auto worker = [&](int tid) {
+    for (int i = tid; i < n; i += n_threads) {
+      status[i] = write_tiff(paths[i], data + stride * i, width, height,
+                             bits, compression);
     }
   };
   std::vector<std::thread> threads;

@@ -74,3 +74,41 @@ def test_imageio_integration(tmp_path):
         paths.append(str(p))
     np.testing.assert_array_equal(imread(paths[0]), vol[0])
     np.testing.assert_array_equal(imread_stack(paths), vol)
+
+
+def test_native_lzw_write_pil_and_native_read(tmp_path):
+    from t3dct.native.tiff import tiff_write_volume
+    img = _rand16((401, 168), 6)            # crosses 9->10->11 bit widths
+    assert tiff_write(tmp_path / "f.tif", img, lzw=True)
+    with Image.open(tmp_path / "f.tif") as f:
+        np.testing.assert_array_equal(np.asarray(f), img)
+    np.testing.assert_array_equal(tiff_read(tmp_path / "f.tif"), img)
+
+    # structured 8-bit: deep dictionary + table resets
+    lab = np.repeat((np.arange(401 * 168) % 151).astype(np.uint8),
+                    1).reshape(401, 168)
+    assert tiff_write(tmp_path / "g.tif", lab, lzw=True)
+    with Image.open(tmp_path / "g.tif") as f:
+        got = np.asarray(f)
+    assert got.dtype == np.uint8
+    np.testing.assert_array_equal(got, lab)
+
+    # threaded batch writer
+    vol = np.stack([img, np.full_like(img, 7),
+                    np.zeros_like(img)])[:, :64, :48]
+    paths = [str(tmp_path / f"w{z}.tif") for z in range(3)]
+    assert tiff_write_volume(paths, vol, lzw=True, n_threads=3)
+    for z, p in enumerate(paths):
+        with Image.open(p) as f:
+            np.testing.assert_array_equal(np.asarray(f), vol[z])
+
+
+def test_save_label_slices_native_roundtrip(tmp_path):
+    from t3dct.io.imageio import load_2d_slices_at_time, save_label_slices
+    rng = np.random.RandomState(7)
+    lab = (rng.rand(40, 30, 6) * 200).astype(np.int32)   # (x, y, z)
+    save_label_slices(lab, tmp_path, "lab_t%03i_z%04i.tif", 3,
+                      use_8_bit=False, compression="tiff_lzw")
+    got = load_2d_slices_at_time(str(tmp_path / "lab_t%03i_z*.tif"), t=3,
+                                 do_normalize=False)      # (z, y', x')
+    np.testing.assert_array_equal(got.transpose(1, 2, 0), lab)
