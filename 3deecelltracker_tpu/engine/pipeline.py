@@ -250,16 +250,13 @@ def track_timelapse(results_dir: Union[str, Path],
                     transformer.voxel_size)
                 t_prob, (prob_g, _, _) = next(prob_iter)
                 assert t_prob == t2
-                prob_map = np.repeat(np.repeat(np.repeat(
-                    np.asarray(prob_g), grid_t[1], axis=0),
-                    grid_t[2], axis=1), grid_t[0], axis=2)
-                x_s, y_s, z_s = transformer.proofed_segmentation.shape
-                prob_map = prob_map[:x_s, :y_s, :z_s].astype(np.float32)
                 with timer.stage("correction"):
+                    # prob_g is the already-uploaded grid-resolution map;
+                    # the upsample runs on device
                     corrected, labels_dev = transformer.accurate_correction(
-                        t2, grid, pred, ensemble=True,
+                        t2, grid_t, pred, ensemble=True,
                         max_repetition=config.max_correction_reps,
-                        prob_map=prob_map, return_device=True)
+                        prob_map_grid=prob_g, return_device=True)
             else:
                 # single mode: the whole per-volume step is one device
                 # program (match + EM + boundary + correction + watershed)

@@ -222,13 +222,26 @@ class CoordsToImageTransformer:
                             max_repetition: int = 20,
                             format: str = "prob%06d.npy",
                             prob_map: Optional[np.ndarray] = None,
+                            prob_map_grid=None,
                             return_device: bool = False):
         """Probability-weighted center refinement (reference :406-447).
 
         Returns (corrected Coordinates, corrected labels image).  With
         ``return_device=True`` the labels stay a device array (no host
-        sync) so the tracking recurrence never blocks on transfers."""
-        if prob_map is None:
+        sync) so the tracking recurrence never blocks on transfers.
+
+        ``prob_map_grid``: GRID-resolution prob map (host or device, any
+        float dtype) — the grid upsample + crop then run ON DEVICE
+        (same math as ``load_prob_map``), so callers upload 1/(gy*gx) of
+        the bytes."""
+        if prob_map_grid is not None:
+            pm = jnp.asarray(prob_map_grid).astype(jnp.float32)
+            for axis, g in enumerate((grid[1], grid[2], grid[0])):
+                if g > 1:
+                    pm = jnp.repeat(pm, g, axis=axis)
+            x, y, z = self.proofed_segmentation.shape
+            prob_map = pm[:x, :y, :z]
+        elif prob_map is None:
             prob_map = self.load_prob_map(t, grid, format)
         boundary = get_cells_on_boundary(
             jnp.asarray(coords.real), self.proofed_segmentation.shape,
