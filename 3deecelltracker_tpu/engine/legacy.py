@@ -551,6 +551,36 @@ class Tracker:
         labels = jnp.where(overlap > 1, 0, labels)
         return np.asarray(recalculate_cell_boundaries(labels, overlap))
 
+    # ---- inspection figures (tracker.py:281-332) ------------------------------
+    def draw_correction(self, i_disp_from_vol1_updated, r_coor_predicted):
+        """Accurate-correction arrows over the cell regions
+        (tracker.py:281-314)."""
+        from ..viz import draw_correction
+        to_layer = np.array([1.0, 1.0, 1.0 / self.z_xy_ratio])
+        corrected = (self.r_coordinates_tracked_t0 * to_layer
+                     + np.asarray(i_disp_from_vol1_updated)
+                     * np.array([1.0, 1.0, 1.0 / self.z_scaling]))
+        return draw_correction(
+            self.segresult.image_cell_bg,
+            np.asarray(r_coor_predicted) * to_layer,
+            self.segresult.r_coordinates_segment * to_layer,
+            corrected, z_xy_ratio=self.z_xy_ratio)
+
+    def draw_overlapping(self, cells_on_boundary_local, volume2,
+                         i_disp_from_vol1_updated):
+        """Move the cells by the current displacements, update
+        ``tracked_labels``, and draw the before/after label overlay
+        (tracker.py:316-332)."""
+        from ..viz import draw_overlapping
+        prev = (self.tracked_labels if self.tracked_labels is not None
+                else np.zeros((self.x_siz, self.y_siz, self.z_siz),
+                              np.int32))
+        self.tracked_labels = self._transform_motion_to_image(
+            cells_on_boundary_local, i_disp_from_vol1_updated)
+        return draw_overlapping(self._read_volume(volume2), prev,
+                                self.tracked_labels,
+                                z_xy_ratio=self.z_xy_ratio)
+
     # ---- public tracking API --------------------------------------------------
     def match(self, target_volume: int, method="min_size"):
         """tracker.py:1138-1175."""

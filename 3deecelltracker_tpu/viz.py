@@ -348,6 +348,68 @@ def draw_matching_6panel(raw_img3d, tracked_labels, r_coor_predicted,
     return fig
 
 
+def draw_correction(image_cell_bg_xyz, pred_layer, seg_layer,
+                    corrected_layer, z_xy_ratio: float = 1.0,
+                    path: Optional[str] = None):
+    """Accurate-correction overlay (tracker.py:281-314): two panels (y-x
+    and y-z planes) with the thresholded cell-region projection in gray,
+    segmented centers as dots, and arrows from each FFN+PR-GLS-predicted
+    position to its corrected position.  All coordinates in LAYER units
+    (z divided by z_xy_ratio)."""
+    bg = np.asarray(image_cell_bg_xyz)
+    if bg.ndim == 5:                     # reference keeps (1, x, y, z, 1)
+        bg = bg[0, ..., 0]
+    pred = np.asarray(pred_layer)
+    seg = np.asarray(seg_layer)
+    corr = np.asarray(corrected_layer)
+    fig, (a, b) = plt.subplots(1, 2, figsize=(14, 7))
+    a.set_title("Accurate Correction (y-x plane)", size=16)
+    b.set_title("Accurate Correction (y-z plane)", size=16)
+    a.imshow(bg.max(axis=2) > 0.5, cmap="gray")
+    b.imshow((bg.max(axis=0) > 0.5).T, cmap="gray",
+             aspect=max(z_xy_ratio, 1e-6))
+    a.scatter(seg[:, 1], seg[:, 0], c="C0", s=12, label="segmented")
+    b.scatter(seg[:, 1], seg[:, 2], c="C0", s=12, label="segmented")
+    for src, dst in zip(pred, corr):
+        a.annotate("", xy=(dst[1], dst[0]), xytext=(src[1], src[0]),
+                   arrowprops=dict(arrowstyle="->", color="C1", lw=0.8))
+        b.annotate("", xy=(dst[1], dst[2]), xytext=(src[1], src[2]),
+                   arrowprops=dict(arrowstyle="->", color="C1", lw=0.8))
+    a.legend()
+    if path:
+        fig.savefig(path, facecolor="white")
+        plt.close(fig)
+    return fig
+
+
+def draw_overlapping(raw_img3d, tracked_labels_prev, tracked_labels,
+                     z_xy_ratio: float = 1.0, path: Optional[str] = None):
+    """Before/after label overlay (tracker.py:316-390 ``draw_overlapping``
+    + ``_draw_matching``): raw projections in gray with the previous and
+    the freshly moved tracked labels."""
+    raw = np.asarray(raw_img3d)
+    fig, axs = plt.subplots(2, 2, figsize=(14, 14))
+    for ax, lab, title in ((axs[0], tracked_labels_prev, "before matching"),
+                           (axs[1], tracked_labels, "after matching")):
+        lab = np.asarray(lab).astype(np.int64)
+        ax[0].imshow(raw.max(axis=2), cmap="gray")
+        ax[0].imshow(np.ma.masked_equal(lab.max(axis=2), 0)
+                     % len(lbl_cmap.colors), cmap=lbl_cmap, alpha=0.5,
+                     interpolation="none")
+        ax[0].set_title(f"{title} (x-y)")
+        ax[1].imshow(np.repeat(raw.max(axis=0).T, max(1, int(z_xy_ratio)),
+                               axis=0), cmap="gray")
+        ax[1].imshow(np.repeat(
+            np.ma.masked_equal(lab.max(axis=0), 0).T
+            % len(lbl_cmap.colors), max(1, int(z_xy_ratio)), axis=0),
+            cmap=lbl_cmap, alpha=0.5, interpolation="none")
+        ax[1].set_title(f"{title} (x-z)")
+    if path:
+        fig.savefig(path, facecolor="white")
+        plt.close(fig)
+    return fig
+
+
 def replay_track_animation(anim_dir, volume_range, pattern
                            ="track_anim_t%06i.png"):
     """Assemble saved per-volume figures into an animation

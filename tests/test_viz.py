@@ -63,3 +63,19 @@ def test_random_label_cmap():
     cmap = viz.random_label_cmap(256)
     assert cmap.colors.shape == (256, 3)
     assert (cmap.colors[0] == 0).all()
+
+
+def test_draw_correction_and_overlapping(tmp_path):
+    rng = np.random.RandomState(3)
+    bg = rng.rand(30, 40, 4)
+    pred = rng.rand(6, 3) * [30, 40, 4]
+    seg = pred + rng.randn(6, 3)
+    corr = pred + 0.5
+    fig = viz.draw_correction(bg, pred, seg, corr, z_xy_ratio=9.2,
+                              path=str(tmp_path / "corr.png"))
+    assert (tmp_path / "corr.png").exists()
+    lab0 = (rng.rand(30, 40, 4) * 5).astype(np.uint8)
+    lab1 = (rng.rand(30, 40, 4) * 5).astype(np.uint8)
+    fig2 = viz.draw_overlapping(bg, lab0, lab1, z_xy_ratio=9.2,
+                                path=str(tmp_path / "ov.png"))
+    assert (tmp_path / "ov.png").exists()
