@@ -249,13 +249,11 @@ class StarDist3D:
             x, prob_thresh, nms_thresh, return_labels))
 
     # ---- tiled prediction (large volumes) ----------------------------------
-    def _get_tile_program(self, tiles, shr, vol, k_tile):
-        """Per-tile program: backbone -> center crop -> local candidate
-        top-k with GLOBAL border/range semantics (traced tile origin)."""
-        key = ("tile", tiles, shr, vol, k_tile)
-        fn = self._fused.get(key)
-        if fn is not None:
-            return fn
+    def _make_tile_fn(self, tiles, shr, vol, k_tile):
+        """Per-tile body: backbone -> center crop -> local candidate top-k
+        with GLOBAL border/range semantics (traced tile origin).  Shared by
+        the sequential tiled path (jit) and the mesh-sharded path (jit of
+        vmap over the tile batch)."""
         cfg, net = self.config, self.net
         grid = tuple(cfg.grid)
         n_rays = cfg.n_rays
@@ -267,8 +265,7 @@ class StarDist3D:
                      for v, d, g in zip(vol, net.div_by, grid))
         b = 2  # sparse_candidates border default
 
-        @jax.jit
-        def prog(params, tile, mi, ma, origin_g, prob_thresh):
+        def tile_fn(params, tile, mi, ma, origin_g, prob_thresh):
             xn = (tile.astype(jnp.float32) - mi) / (ma - mi + 1e-20)
             prob_g, dist_g = net.apply(params, xn[None, ..., None])
             prob_c = jax.lax.dynamic_slice(prob_g[0, ..., 0], s_g, c_g)
@@ -294,8 +291,15 @@ class StarDist3D:
             return (prob_c, jnp.where(valid, top_p, 0.0), dists, pts_flat,
                     valid)
 
-        self._fused[key] = prog
-        return prog
+        return tile_fn
+
+    def _get_tile_program(self, tiles, shr, vol, k_tile):
+        key = ("tile", tiles, shr, vol, k_tile)
+        fn = self._fused.get(key)
+        if fn is None:
+            fn = jax.jit(self._make_tile_fn(tiles, shr, vol, k_tile))
+            self._fused[key] = fn
+        return fn
 
     def _get_combine_program(self, k, image_shape, return_labels):
         """Global overlap -> greedy NMS -> (optional) label render over the
@@ -358,6 +362,35 @@ class StarDist3D:
         Returns ``((labels, details), prob_map)`` exactly like
         :meth:`predict_instances` (prob_map at grid resolution).
         """
+        vol, grid, tiles, shr, plan, padded, gshape, c_g = \
+            self._plan_tiling(x, tile_shape, shrink)
+        if prob_thresh is None:
+            prob_thresh = self._thresholds["prob"]
+        if nms_thresh is None:
+            nms_thresh = self._thresholds["nms"]
+        prob_map = np.zeros(gshape, np.float32)
+
+        prog = self._get_tile_program(tiles, shr, vol, tile_candidates)
+        mi, ma = norm_minmax
+        parts = []
+        for origin in plan.origins:
+            o = tuple(int(v) for v in origin)
+            tile = padded[o[0]:o[0] + tiles[0], o[1]:o[1] + tiles[1],
+                          o[2]:o[2] + tiles[2]]
+            og = tuple(v // g for v, g in zip(o, grid))
+            out = prog(self.params, jnp.asarray(tile),
+                       np.float32(mi), np.float32(ma),
+                       np.asarray(og, np.int32), np.float32(prob_thresh))
+            prob_c, top_p, dists, pts, valid = jax.device_get(out)
+            self._paste_tile_prob(prob_map, prob_c, og, c_g, gshape)
+            parts.append((top_p, dists, pts, valid))
+
+        return self._combine_tile_parts(parts, prob_map, vol, nms_thresh,
+                                        return_labels)
+
+    def _plan_tiling(self, x, tile_shape, shrink):
+        """Shared tile planning: shrink margins rounded to ``div_by``,
+        reflect padding, and center-region bookkeeping."""
         from ..ops.tiling import plan_tiles
 
         x = np.asarray(x)
@@ -365,10 +398,6 @@ class StarDist3D:
         cfg = self.config
         grid = tuple(cfg.grid)
         div = self.net.div_by
-        if prob_thresh is None:
-            prob_thresh = self._thresholds["prob"]
-        if nms_thresh is None:
-            nms_thresh = self._thresholds["nms"]
         if shrink is None:
             shrink = self.net.receptive_field()
 
@@ -398,29 +427,21 @@ class StarDist3D:
             [(s, p - v - s) for s, p, v in zip(shr, plan.padded_shape, vol)],
             mode="reflect")
         gshape = tuple(-(-v // g) for v, g in zip(vol, grid))
-        prob_map = np.zeros(gshape, np.float32)
         c_g = tuple((t - 2 * s) // g for t, s, g in zip(tiles, shr, grid))
+        return vol, grid, tiles, shr, plan, padded, gshape, c_g
 
-        prog = self._get_tile_program(tiles, shr, vol, tile_candidates)
-        mi, ma = norm_minmax
-        parts = []
-        for origin in plan.origins:
-            o = tuple(int(v) for v in origin)
-            tile = padded[o[0]:o[0] + tiles[0], o[1]:o[1] + tiles[1],
-                          o[2]:o[2] + tiles[2]]
-            og = tuple(v // g for v, g in zip(o, grid))
-            out = prog(self.params, jnp.asarray(tile),
-                       np.float32(mi), np.float32(ma),
-                       np.asarray(og, np.int32), np.float32(prob_thresh))
-            prob_c, top_p, dists, pts, valid = jax.device_get(out)
-            ext = tuple(min(c, gs - oo)
-                        for c, gs, oo in zip(c_g, gshape, og))
-            if all(e > 0 for e in ext):
-                prob_map[og[0]:og[0] + ext[0], og[1]:og[1] + ext[1],
-                         og[2]:og[2] + ext[2]] = \
-                    prob_c[:ext[0], :ext[1], :ext[2]]
-            parts.append((top_p, dists, pts, valid))
+    @staticmethod
+    def _paste_tile_prob(prob_map, prob_c, og, c_g, gshape):
+        ext = tuple(min(c, gs - oo) for c, gs, oo in zip(c_g, gshape, og))
+        if all(e > 0 for e in ext):
+            prob_map[og[0]:og[0] + ext[0], og[1]:og[1] + ext[1],
+                     og[2]:og[2] + ext[2]] = prob_c[:ext[0], :ext[1],
+                                                    :ext[2]]
 
+    def _combine_tile_parts(self, parts, prob_map, vol, nms_thresh,
+                            return_labels):
+        """Global candidate merge -> NMS -> (optional) render -> finalize,
+        shared by the sequential and mesh-sharded tiled paths."""
         probs = np.concatenate([p[0] for p in parts])
         dists = np.concatenate([p[1] for p in parts])
         points = np.concatenate([p[2] for p in parts])
@@ -440,6 +461,73 @@ class StarDist3D:
             kept, labels = jax.device_get(out), None
         return self._finalize_instances((kept, probs, dists, points,
                                          prob_map, labels))
+
+    def predict_instances_sharded(self, x: np.ndarray,
+                                  mesh=None,
+                                  tile_shape=(None, 256, 256),
+                                  shrink=None,
+                                  prob_thresh: Optional[float] = None,
+                                  nms_thresh: Optional[float] = None,
+                                  tile_candidates: int = 256,
+                                  return_labels: bool = True,
+                                  norm_minmax: Tuple[float, float] = (0.,
+                                                                      1.)):
+        """Mesh-sharded tile-and-stitch instance prediction: the tile
+        batch fans out across the devices of a 1-axis ``jax.sharding.Mesh``
+        (defaults to all local devices), each device runs the SAME
+        per-tile program as :meth:`predict_instances_tiled` on its shard,
+        and candidates merge globally — identical instances to the
+        sequential tiled path, wall-clock divided by the device count.
+        This is the zebrafish-scale inference path (the reference raises
+        ``NotImplementedError`` at ``stardist3dcustom.py:188``)."""
+        from jax.sharding import Mesh, NamedSharding, PartitionSpec
+
+        vol, grid, tiles, shr, plan, padded, gshape, c_g = \
+            self._plan_tiling(x, tile_shape, shrink)
+        if prob_thresh is None:
+            prob_thresh = self._thresholds["prob"]
+        if nms_thresh is None:
+            nms_thresh = self._thresholds["nms"]
+        if mesh is None:
+            mesh = Mesh(np.array(jax.devices()), ("tiles",))
+        n_dev = int(np.prod([mesh.shape[a] for a in mesh.axis_names]))
+
+        origins = [tuple(int(v) for v in o) for o in plan.origins]
+        n_tiles = len(origins)
+        n_pad = (-n_tiles) % n_dev
+        stack = np.empty((n_tiles + n_pad,) + tiles, np.float32)
+        ogs = np.zeros((n_tiles + n_pad, 3), np.int32)
+        for i, o in enumerate(origins):
+            stack[i] = padded[o[0]:o[0] + tiles[0], o[1]:o[1] + tiles[1],
+                              o[2]:o[2] + tiles[2]]
+            ogs[i] = [v // g for v, g in zip(o, grid)]
+        stack[n_tiles:] = 0.0               # pad tiles: dropped after fetch
+
+        key = ("tile_sharded", tiles, shr, vol, tile_candidates,
+               tuple(mesh.axis_names), n_dev)
+        batched = self._fused.get(key)
+        if batched is None:
+            tile_fn = self._make_tile_fn(tiles, shr, vol, tile_candidates)
+            batched = jax.jit(jax.vmap(
+                tile_fn, in_axes=(None, 0, None, None, 0, None)))
+            self._fused[key] = batched
+
+        spec = NamedSharding(mesh, PartitionSpec(mesh.axis_names[0]))
+        tiles_dev = jax.device_put(stack, spec)
+        ogs_dev = jax.device_put(ogs, spec)
+        mi, ma = norm_minmax
+        out = batched(self.params, tiles_dev, np.float32(mi),
+                      np.float32(ma), ogs_dev, np.float32(prob_thresh))
+        prob_cs, top_ps, dists, pts, valids = jax.device_get(out)
+
+        prob_map = np.zeros(gshape, np.float32)
+        parts = []
+        for i in range(n_tiles):
+            self._paste_tile_prob(prob_map, prob_cs[i], tuple(ogs[i]), c_g,
+                                  gshape)
+            parts.append((top_ps[i], dists[i], pts[i], valids[i]))
+        return self._combine_tile_parts(parts, prob_map, vol, nms_thresh,
+                                        return_labels)
 
 
 def load_stardist_model(model_name: str = "stardist",

@@ -151,3 +151,25 @@ def test_tiled_zebrafish_scale_smoke():
     assert labels.shape == (64, 512, 512)
     assert prob_map.shape == (32, 128, 128)
     assert details["points"].shape[1] == 3
+
+
+def test_sharded_tiles_match_sequential():
+    """Mesh-sharded tile fan-out (8 virtual devices) returns identical
+    candidates, prob map, and labels to the sequential tiled path."""
+    import jax
+
+    cfg = _cfg_small()
+    model = StarDist3D(cfg, max_candidates=64, render_box=(9, 17, 17))
+    rng = np.random.default_rng(7)
+    x = rng.random((16, 128, 128), np.float32)
+
+    (lab_seq, det_seq), prob_seq = model.predict_instances_tiled(
+        x, tile_shape=(None, 72, 72), prob_thresh=0.55)
+    (lab_sh, det_sh), prob_sh = model.predict_instances_sharded(
+        x, tile_shape=(None, 72, 72), prob_thresh=0.55)
+
+    assert len(jax.devices()) >= 2          # conftest forces 8 CPU devices
+    np.testing.assert_allclose(prob_sh, prob_seq, rtol=0, atol=1e-6)
+    np.testing.assert_array_equal(det_sh["points"], det_seq["points"])
+    np.testing.assert_allclose(det_sh["prob"], det_seq["prob"], atol=1e-6)
+    np.testing.assert_array_equal(np.asarray(lab_sh), np.asarray(lab_seq))
