@@ -145,8 +145,14 @@ class StarDist3D:
         on host."""
         key = (tuple(orig_shape), return_labels, in_dtype)
         fn = self._fused.get(key)
-        if fn is not None:
-            return fn
+        if fn is None:
+            fn = jax.jit(self._make_instance_body(orig_shape, return_labels))
+            self._fused[key] = fn
+        return fn
+
+    def _make_instance_body(self, orig_shape, return_labels: bool):
+        """The per-volume instance pipeline body (shared by the
+        single-volume jit and the batched vmap program)."""
         cfg = self.config
         net, rays = self.net, self.rays
         max_candidates, render_box = self.max_candidates, self.render_box
@@ -155,7 +161,6 @@ class StarDist3D:
         div = self.net.div_by
         pads = [(0, (-s) % d) for s, d in zip(orig_shape, div)]
 
-        @jax.jit
         def fused(params, x_raw, mi, ma, prob_thresh, nms_thresh):
             x = (x_raw.astype(jnp.float32) - mi) / (ma - mi + 1e-20)
             xp = jnp.pad(x, pads, mode="reflect")
@@ -186,8 +191,41 @@ class StarDist3D:
                     render_box).astype(jnp.uint16),)
             return out
 
-        self._fused[key] = fused
         return fused
+
+    def _get_fused_batch(self, orig_shape: Tuple[int, ...], batch: int,
+                         in_dtype: str):
+        """Batched variant: B independent volumes per dispatch/fetch.
+        Through a high-latency device link the per-call RPC dominates the
+        per-volume cost (measured ~50 ms/round-trip at worm scale), so
+        batching divides it by B.  No labels (the driver only persists
+        labels for vol 1, which runs through the single-volume program)."""
+        key = ("fusedB", tuple(orig_shape), batch, in_dtype)
+        fn = self._fused.get(key)
+        if fn is None:
+            body = self._make_instance_body(orig_shape, False)
+            fn = jax.jit(lambda params, xs, mis, mas, pt, nt: jax.vmap(
+                lambda x, mi, ma: body(params, x, mi, ma, pt, nt))(
+                    xs, mis, mas))
+            self._fused[key] = fn
+        return fn
+
+    def _predict_batch_device(self, xs, mis, mas,
+                              prob_thresh: Optional[float] = None,
+                              nms_thresh: Optional[float] = None):
+        """Dispatch B stacked volumes (device or host arrays); returns the
+        batched device tuple (no host sync)."""
+        if prob_thresh is None:
+            prob_thresh = self._thresholds["prob"]
+        if nms_thresh is None:
+            nms_thresh = self._thresholds["nms"]
+        fused = self._get_fused_batch(tuple(xs.shape[1:]), int(xs.shape[0]),
+                                      np.dtype(xs.dtype).str)
+        # np arrays/scalars ride inside the (async) execute call — explicit
+        # device_put would cost a synchronous upload RPC each
+        return fused(self.params, xs, np.asarray(mis, np.float32),
+                     np.asarray(mas, np.float32),
+                     np.float32(prob_thresh), np.float32(nms_thresh))
 
     def _predict_instances_device(self, x: np.ndarray,
                                   prob_thresh: Optional[float] = None,
@@ -586,7 +624,8 @@ def load_stardist_keras_dir(model_dir: Union[str, Path]) -> StarDist3D:
 
 def predict_and_save(images_path, model: StarDist3D,
                      results_folder: Union[str, Path],
-                     prefetch_depth: int = 2) -> None:
+                     prefetch_depth: int = 2,
+                     batch_size: int = 4) -> None:
     """Segment every volume and persist seg/ artifacts
     (``stardistwrapper.predict_and_save`` :75-111): coords saved (y, x, z)
     -> the pipeline's (x, y, z) frame, prob_map transposed to (x, y, z).
@@ -623,21 +662,32 @@ def predict_and_save(images_path, model: StarDist3D,
     save_q: "queue.Queue" = queue.Queue(maxsize=prefetch_depth + n_savers)
     errors = []
 
+    def _write_one(t, finalized):
+        (labels, details), prob_map = finalized
+        tree.save_seg_coords(t, details["points"][:, [1, 2, 0]])
+        tree.save_seg_prob(t, prob_map.transpose((1, 2, 0)))
+        if t == t_min:
+            save_volume_slices(labels.transpose((1, 2, 0)),
+                               Path(results_folder) / "auto_vol1",
+                               "auto_vol1_z%04i.tif")
+
     def saver():
         while True:
             item = save_q.get()
             if item is None:
                 return
-            t, device_tuple = item
+            ts, device_tuple = item
             try:
-                (labels, details), prob_map = \
-                    model._finalize_instances(device_tuple)
-                tree.save_seg_coords(t, details["points"][:, [1, 2, 0]])
-                tree.save_seg_prob(t, prob_map.transpose((1, 2, 0)))
-                if t == t_min:
-                    save_volume_slices(labels.transpose((1, 2, 0)),
-                                       Path(results_folder) / "auto_vol1",
-                                       "auto_vol1_z%04i.tif")
+                if isinstance(ts, tuple):
+                    # batched: ONE fetch RPC for all B volumes
+                    kept, probs, dists, points, prob_map = \
+                        jax.device_get(device_tuple)
+                    for i, t in enumerate(ts):
+                        _write_one(t, model._finalize_instances(
+                            (kept[i], probs[i], dists[i], points[i],
+                             prob_map[i], None)))
+                else:
+                    _write_one(ts, model._finalize_instances(device_tuple))
             except Exception as e:   # surface on the main thread
                 errors.append(e)
 
@@ -646,20 +696,48 @@ def predict_and_save(images_path, model: StarDist3D,
     for th in saver_threads:
         th.start()
     done_t = t_min - 1
+    group: list = []
+
+    def flush_group():
+        nonlocal done_t
+        if not group:
+            return
+        if len(group) == 1:
+            t, x, mi, ma = group[0]
+            save_q.put((t, model._predict_instances_device(
+                x, norm_minmax=(mi, ma), return_labels=False)))
+        else:
+            # the stack is a device-side op over already-uploaded volumes
+            xs = jnp.stack([g[1] for g in group])
+            out = model._predict_batch_device(
+                xs, [g[2] for g in group], [g[3] for g in group])
+            save_q.put((tuple(g[0] for g in group), out))
+        done_t = group[-1][0]
+        group.clear()
+
     try:
         for t, (x, mi, ma) in loader:
-            # labels are only persisted for vol 1 (auto_vol1); skipping the
-            # render + 3-6 MB label transfer for every other volume is the
-            # single biggest per-volume saving on a thin device link
-            save_q.put((t, model._predict_instances_device(
-                x, norm_minmax=(mi, ma), return_labels=(t == t_min))))
-            done_t = t
+            if t == t_min:
+                # labels are only persisted for vol 1 (auto_vol1); skipping
+                # the render + 3-6 MB label transfer for every other volume
+                # is the single biggest per-volume saving on a thin link
+                save_q.put((t, model._predict_instances_device(
+                    x, norm_minmax=(mi, ma), return_labels=True)))
+                done_t = t
+            else:
+                # batch_size volumes per dispatch/fetch: the ~50 ms RPC
+                # round-trip through the link amortizes across the batch
+                group.append((t, x, mi, ma))
+                if len(group) >= batch_size:
+                    flush_group()
             if errors:
                 raise errors[0]
     except FileNotFoundError:
+        flush_group()
         print(f"Warning: segmentation stopped; images at t={done_t + 1} "
               "cannot be loaded!")
     finally:
+        flush_group()
         for _ in saver_threads:
             save_q.put(None)
         for th in saver_threads:

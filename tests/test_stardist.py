@@ -179,3 +179,31 @@ def test_model_save_load_roundtrip(tmp_path, small_model):
     p1 = small_model.predict_sparse(x)[4]
     p2 = loaded.predict_sparse(x)[4]
     np.testing.assert_allclose(np.asarray(p1), np.asarray(p2), rtol=1e-5)
+
+
+def test_predict_and_save_batched_matches_single(tmp_path, small_model):
+    """batch_size>1 fetches B volumes per RPC; artifacts must be
+    IDENTICAL to the per-volume path (same programs, vmapped)."""
+    from t3dct.io.imageio import save_label_slices
+
+    rng = np.random.RandomState(5)
+    raw_dir = tmp_path / "raw"
+    for t in range(1, 8):
+        vol = (rng.rand(8, 40, 32) * 50000).astype(np.uint16)
+        save_label_slices(vol.transpose(1, 2, 0), raw_dir,
+                          "raw_t%03i_z%04i.tif", t, use_8_bit=False,
+                          compression=None)
+    images_path = str(raw_dir / "raw_t%03i_z*.tif")
+
+    predict_and_save(images_path, small_model, tmp_path / "r1",
+                     batch_size=1)
+    predict_and_save(images_path, small_model, tmp_path / "r3",
+                     batch_size=3)
+
+    for t in range(1, 8):
+        c1 = np.load(tmp_path / "r1" / "seg" / ("coords%06d.npy" % t))
+        c3 = np.load(tmp_path / "r3" / "seg" / ("coords%06d.npy" % t))
+        np.testing.assert_array_equal(c1, c3)
+        p1 = np.load(tmp_path / "r1" / "seg" / ("prob%06d.npy" % t))
+        p3 = np.load(tmp_path / "r3" / "seg" / ("prob%06d.npy" % t))
+        np.testing.assert_array_equal(p1, p3)
