@@ -13,8 +13,8 @@ fits device memory.  This framework covers that scale two ways:
 
 Run (defaults are zebrafish-class (64, 512, 512)):
   python examples/segment_large_volume.py
-  JAX_PLATFORMS=cpu XLA_FLAGS=--xla_force_host_platform_device_count=8 \
-      python examples/segment_large_volume.py --sharded --shape 32 256 256
+  python examples/segment_large_volume.py --sharded --cpu-mesh 8 \
+      --shape 32 256 256          # 8 virtual CPU devices (no TPU slice)
 """
 
 import sys as _sys
@@ -40,7 +40,15 @@ def main():
                     help="(y, x) tile size (z untiled)")
     ap.add_argument("--sharded", action="store_true",
                     help="fan tiles out over all local devices")
+    ap.add_argument("--cpu-mesh", type=int, default=0, metavar="N",
+                    help="force an N-device virtual CPU mesh (must be set "
+                         "before any device use; overrides the platform "
+                         "even where env vars are ignored)")
     args = ap.parse_args()
+    if args.cpu_mesh:
+        import jax
+        jax.config.update("jax_platforms", "cpu")
+        jax.config.update("jax_num_cpu_devices", int(args.cpu_mesh))
     enable_compilation_cache()
 
     cfg = StarDistConfig(n_rays=32, grid=(2, 4, 4),

@@ -207,3 +207,27 @@ def test_predict_and_save_batched_matches_single(tmp_path, small_model):
         p1 = np.load(tmp_path / "r1" / "seg" / ("prob%06d.npy" % t))
         p3 = np.load(tmp_path / "r3" / "seg" / ("prob%06d.npy" % t))
         np.testing.assert_array_equal(p1, p3)
+
+
+def test_predict_and_save_batched_partial_recording(tmp_path, small_model):
+    """Loader failure mid-recording (reference semantics: warn + keep
+    everything segmented so far) must flush the in-flight batch."""
+    from t3dct.io.imageio import save_label_slices
+
+    rng = np.random.RandomState(6)
+    raw_dir = tmp_path / "raw"
+    for t in range(1, 6):                     # t=6..7 missing
+        vol = (rng.rand(8, 40, 32) * 50000).astype(np.uint16)
+        save_label_slices(vol.transpose(1, 2, 0), raw_dir,
+                          "raw_t%03i_z%04i.tif", t, use_8_bit=False,
+                          compression=None)
+    images_path = str(raw_dir / "raw_t%03i_z*.tif")
+    import t3dct.io.imageio as iio
+    t_max, t_min = iio.get_t_range(images_path)
+    assert (t_max, t_min) == (5, 1)
+
+    predict_and_save(images_path, small_model, tmp_path / "r",
+                     batch_size=3)
+    for t in range(1, 6):
+        assert (tmp_path / "r" / "seg" / ("coords%06d.npy" % t)).exists()
+        assert (tmp_path / "r" / "seg" / ("prob%06d.npy" % t)).exists()
