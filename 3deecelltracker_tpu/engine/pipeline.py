@@ -179,13 +179,12 @@ def track_timelapse(results_dir: Union[str, Path],
     # upsample happens ON DEVICE (fused_track_and_correct prob_grid), so
     # only the grid-resolution map is uploaded
     from ..io.prefetch import VolumePrefetcher
-    # ALL h2d uploads happen ON the prefetch thread, packed into three
-    # transfers per volume (prob map + stacked seg points + stacked
-    # masks).  Through a high-latency device link every synchronous
-    # upload/fetch costs a full RPC round-trip (~20-45 ms measured even
-    # for a (512, 3) array), so the device loop itself must issue only
-    # async dispatches; building seg Coordinates through jnp on the main
-    # thread used to cost ~95 ms/volume in RPC latency alone.
+    # The prefetch thread does DISK work only (npy reads + padding); the
+    # host arrays then ride INSIDE the fused call's execute RPC — measured
+    # on the tunneled link: an 810 KB np argument adds ~20 ms to the call,
+    # while a separate synchronous upload costs a ~50 ms round-trip, and
+    # there are three arrays per volume.  (Building seg Coordinates
+    # through jnp on the main thread used to cost ~95 ms/volume.)
     max_cells = tracker.max_cells
     vs_np = np.asarray(transformer.voxel_size, np.float32)
 
@@ -204,8 +203,7 @@ def track_timelapse(results_dir: Union[str, Path],
         prob = transformer.tree.load_seg_prob(t2).astype(np.float16)
         p1, m1 = _pad_np(transformer.tree.load_seg_coords(t2 - 1))
         p2, m2 = _pad_np(transformer.tree.load_seg_coords(t2))
-        return (jnp.asarray(prob), jnp.asarray(np.stack([p1, p2])),
-                jnp.asarray(np.stack([m1, m2])))
+        return prob, np.stack([p1, p2]), np.stack([m1, m2])
 
     prob_iter = iter(VolumePrefetcher(
         _load_inputs,
@@ -260,10 +258,12 @@ def track_timelapse(results_dir: Union[str, Path],
             else:
                 # single mode: the whole per-volume step is one device
                 # program (match + EM + boundary + correction + watershed)
-                t_prob, (prob_g, pts_dev, masks_dev) = next(prob_iter)
+                t_prob, (prob_g, pts_np, masks_np) = next(prob_iter)
                 assert t_prob == t2
-                seg1, m1 = pts_dev[0], masks_dev[0]   # async device slices
-                seg2, m2 = pts_dev[1], masks_dev[1]
+                # host arrays: they ride inside the fused call's execute
+                # RPC (no separate upload round-trips)
+                seg1, m1 = pts_np[0], masks_np[0]
+                seg2, m2 = pts_np[1], masks_np[1]
                 with timer.stage("track+correct (fused)"):
                     corrected_raw, labels_dev = fused_track_and_correct(
                         tracker.ffn_params, tracker.ffn_state,
