@@ -141,7 +141,7 @@ def track_timelapse(results_dir: Union[str, Path],
 
     import jax
 
-    n_savers = 2        # overlap the per-volume d2h RPC latency + codecs
+    n_savers = 3        # overlap the per-volume d2h RPC latency + codecs
     save_q: "queue.Queue" = queue.Queue(maxsize=2 + n_savers)
     errors: List[Exception] = []
 
