@@ -570,16 +570,17 @@ class Tracker:
                          i_disp_from_vol1_updated):
         """Move the cells by the current displacements, update
         ``tracked_labels``, and draw the before/after label overlay
-        (tracker.py:316-332)."""
+        (tracker.py:316-390): both panels show the CURRENT volume's
+        thresholded cell regions in gray; "before" overlays the constant
+        vol-1 interpolated labels (``_draw_before_matching``), "after"
+        overlays the freshly moved tracked labels."""
         from ..viz import draw_overlapping
-        prev = (self.tracked_labels if self.tracked_labels is not None
-                else np.zeros((self.x_siz, self.y_siz, self.z_siz),
-                              np.int32))
         self.tracked_labels = self._transform_motion_to_image(
             cells_on_boundary_local, i_disp_from_vol1_updated)
-        return draw_overlapping(self._read_volume(volume2), prev,
-                                self.tracked_labels,
-                                z_xy_ratio=self.z_xy_ratio)
+        return draw_overlapping(
+            np.asarray(self.segresult.image_cell_bg) > 0.5,
+            self.segmentation_manual_relabels, self.tracked_labels,
+            z_xy_ratio=self.z_xy_ratio)
 
     # ---- public tracking API --------------------------------------------------
     def match(self, target_volume: int, method="min_size"):

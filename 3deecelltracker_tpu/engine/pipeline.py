@@ -33,7 +33,8 @@ from ..coordinates import Coordinates
 from ..ops.watershed import recalculate_cell_boundaries
 from .correction import accurate_correction_loop, get_cells_on_boundary
 from .tracker import TrackerLite, get_volumes_list, track_step
-from .transformer import BOUNDARY_XY, CoordsToImageTransformer
+from .transformer import (BOUNDARY_XY, CoordsToImageTransformer,
+                          upsample_prob_pipeline)
 
 
 @functools.partial(jax.jit, static_argnames=(
@@ -66,12 +67,7 @@ def fused_track_and_correct(ffn_params, ffn_state,
     (coord_image_transformer.py:431-435) runs on device — uploading the
     grid-res map moves grid_y*grid_x times fewer bytes per volume."""
     if prob_grid != (1, 1, 1):
-        for axis, g in zip((0, 1, 2),
-                           (prob_grid[1], prob_grid[2], prob_grid[0])):
-            if g > 1:
-                prob_img = jnp.repeat(prob_img, g, axis=axis)
-        prob_img = prob_img[:image_shape[0], :image_shape[1],
-                            :image_shape[2]]
+        prob_img = upsample_prob_pipeline(prob_img, prob_grid, image_shape)
     # prob maps upload as float16 (half the bytes on the host->device
     # link); correction weights compute in f32
     prob_img = prob_img.astype(jnp.float32)
@@ -144,6 +140,9 @@ def track_timelapse(results_dir: Union[str, Path],
     n_savers = 3        # overlap the per-volume d2h RPC latency + codecs
     save_q: "queue.Queue" = queue.Queue(maxsize=2 + n_savers)
     errors: List[Exception] = []
+    # pyplot's figure-manager state is global and NOT thread-safe;
+    # concurrent savers must serialize all figure work
+    mpl_lock = threading.Lock()
 
     def saver():
         while True:
@@ -161,11 +160,12 @@ def track_timelapse(results_dir: Union[str, Path],
                 if save_figures:
                     from ..viz import save_matching_figure
                     seg_t2 = tracker._get_segmented_pos(t2)
-                    save_matching_figure(
-                        transformer.tree,
-                        np.asarray(jax.device_get(coords_t1_real_dev)),
-                        np.asarray(seg_t2.real),
-                        np.asarray(corrected.real), t2 - 1, t2)
+                    with mpl_lock:
+                        save_matching_figure(
+                            transformer.tree,
+                            np.asarray(jax.device_get(coords_t1_real_dev)),
+                            np.asarray(seg_t2.real),
+                            np.asarray(corrected.real), t2 - 1, t2)
             except Exception as e:
                 errors.append(e)
 

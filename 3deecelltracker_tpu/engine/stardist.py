@@ -702,16 +702,15 @@ def predict_and_save(images_path, model: StarDist3D,
         nonlocal done_t
         if not group:
             return
-        if len(group) == 1:
-            t, x, mi, ma = group[0]
-            save_q.put((t, model._predict_instances_device(
-                x, norm_minmax=(mi, ma), return_labels=False)))
-        else:
-            # the stack is a device-side op over already-uploaded volumes
-            xs = jnp.stack([g[1] for g in group])
-            out = model._predict_batch_device(
-                xs, [g[2] for g in group], [g[3] for g in group])
-            save_q.put((tuple(g[0] for g in group), out))
+        # partial tail groups pad up to batch_size by repeating the last
+        # volume (outputs dropped): one program shape -> one remote
+        # compile, instead of a fresh 10-30 s compile per tail size
+        padded = group + [group[-1]] * (batch_size - len(group))
+        # the stack is a device-side op over already-uploaded volumes
+        xs = jnp.stack([g[1] for g in padded])
+        out = model._predict_batch_device(
+            xs, [g[2] for g in padded], [g[3] for g in padded])
+        save_q.put((tuple(g[0] for g in group), out))
         done_t = group[-1][0]
         group.clear()
 

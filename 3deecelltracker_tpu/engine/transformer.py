@@ -32,6 +32,20 @@ from .correction import accurate_correction_loop, get_cells_on_boundary
 BOUNDARY_XY = 6  # reference tracker.py:47
 
 
+def upsample_prob_pipeline(prob_grid_xyz, grid, out_shape, xp=jnp):
+    """GRID-resolution (x, y, z)-frame prob map -> full resolution:
+    per-axis repeat with the pipeline-frame axis mapping
+    (axis0 <- grid[1], axis1 <- grid[2], axis2 <- grid[0]) + crop
+    (coord_image_transformer.py:431-435).  The ONE shared implementation
+    of this subtle mapping — used on host (xp=np), outside jit on device
+    arrays, and inside the fused tracking program."""
+    out = prob_grid_xyz
+    for axis, g in enumerate((grid[1], grid[2], grid[0])):
+        if g > 1:
+            out = xp.repeat(out, g, axis=axis)
+    return out[:out_shape[0], :out_shape[1], :out_shape[2]]
+
+
 def _relabel_sequential_np(labels: np.ndarray) -> np.ndarray:
     """skimage.segmentation.relabel_sequential for host label volumes."""
     uniq = np.unique(labels)
@@ -212,10 +226,9 @@ class CoordsToImageTransformer:
         """seg/prob*.npy upsampled by the StarDist grid and cropped
         (coord_image_transformer.py:431-435)."""
         prob = self.tree.load_seg_prob(t, fmt)
-        prob = np.repeat(np.repeat(np.repeat(
-            prob, grid[1], axis=0), grid[2], axis=1), grid[0], axis=2)
-        x, y, z = self.proofed_segmentation.shape
-        return prob[:x, :y, :z].astype(np.float32)
+        return np.asarray(upsample_prob_pipeline(
+            prob, grid, self.proofed_segmentation.shape,
+            xp=np)).astype(np.float32)
 
     def accurate_correction(self, t: int, grid: Tuple[int, int, int],
                             coords: Coordinates, ensemble: bool,
@@ -235,12 +248,9 @@ class CoordsToImageTransformer:
         (same math as ``load_prob_map``), so callers upload 1/(gy*gx) of
         the bytes."""
         if prob_map_grid is not None:
-            pm = jnp.asarray(prob_map_grid).astype(jnp.float32)
-            for axis, g in enumerate((grid[1], grid[2], grid[0])):
-                if g > 1:
-                    pm = jnp.repeat(pm, g, axis=axis)
-            x, y, z = self.proofed_segmentation.shape
-            prob_map = pm[:x, :y, :z]
+            prob_map = upsample_prob_pipeline(
+                jnp.asarray(prob_map_grid).astype(jnp.float32), grid,
+                self.proofed_segmentation.shape)
         elif prob_map is None:
             prob_map = self.load_prob_map(t, grid, format)
         boundary = get_cells_on_boundary(

@@ -76,8 +76,12 @@ class TrainStarDist3D:
         self.net = StarDist3DNet(config)
         self.params = self.net.init(jax.random.PRNGKey(seed))
         # inject_hyperparams keeps the learning rate in opt_state so
-        # ReduceLROnPlateau can rescale it between epochs without retracing
-        self.optimizer = optax.inject_hyperparams(optax.adam)(
+        # ReduceLROnPlateau can rescale it between epochs without
+        # retracing.  b1/b2/eps stay STATIC python floats: injecting them
+        # as f32 state changes adam's bias correction (b1**count powers in
+        # f32 instead of f64) enough to train a measurably different model
+        self.optimizer = optax.inject_hyperparams(
+            optax.adam, static_args=("b1", "b2", "eps"))(
             learning_rate=learning_rate)
         self.opt_state = self.optimizer.init(self.params)
         self.rays = jnp.asarray(

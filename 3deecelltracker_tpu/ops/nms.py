@@ -192,29 +192,49 @@ def render_polyhedra_labels(centers: jax.Array, dists: jax.Array,
     nearest = jnp.argmax(sim, axis=-1)                   # (box,)
     oh = jax.nn.one_hot(nearest.reshape(-1), rays.shape[0],
                         dtype=jnp.float32)               # (V, n_rays)
-    # HIGHEST: the bf16 default would truncate radii and flip boundary
-    # voxels vs the per-candidate gather
-    radius_all = jnp.dot(oh, dists.T,
-                         precision=jax.lax.Precision.HIGHEST,
-                         preferred_element_type=jnp.float32)    # (V, k)
-    inside_all = ((d.reshape(-1)[:, None] <= radius_all)
-                  & kept[None, :]).T                     # (k, V)
+
+    # candidates in ascending-probability paste order; the radius lookups
+    # run as one MXU matmul per CHUNK of candidates, bounding the (V, C)
+    # buffer (a full (V, k) matrix is ~570 MB at the class defaults
+    # k=1024, box=(33,65,65))
+    order_asc = order[::-1]
+    CHUNK = min(k, 64)
+    n_chunks = -(-k // CHUNK)
+    kp = n_chunks * CHUNK
+    dists_ord = jnp.pad(dists[order_asc], ((0, kp - k), (0, 0)))
+    centers_ord = jnp.pad(centers[order_asc], ((0, kp - k), (0, 0)))
+    ranks_ord = jnp.pad(ranks[order_asc], (0, kp - k))
+    kept_ord = jnp.pad(kept[order_asc], (0, kp - k))  # pad: never pasted
 
     pad = (bz, by, bx)
     canvas_shape = tuple(s + 2 * p for s, p in zip(image_shape, pad))
     labels0 = jnp.zeros(canvas_shape, jnp.int32)
-    order_asc = order[::-1]
+    d_flat = d.reshape(-1)
 
-    def body(step, labels):
-        c = order_asc[step]
-        corner = jnp.round(centers[c] - half).astype(jnp.int32) + \
-            jnp.asarray(pad, jnp.int32)
-        corner = jnp.clip(corner, 0, jnp.asarray(
-            [cs - b for cs, b in zip(canvas_shape, box)], jnp.int32))
-        patch = jax.lax.dynamic_slice(labels, corner, box)
-        patch = jnp.where(inside_all[c].reshape(box), ranks[c], patch)
-        return jax.lax.dynamic_update_slice(labels, patch, corner)
+    def chunk_body(ci, labels):
+        base = ci * CHUNK
+        dch = jax.lax.dynamic_slice(dists_ord, (base, 0),
+                                    (CHUNK, dists.shape[1]))
+        # HIGHEST: the bf16 default would truncate radii and flip boundary
+        # voxels vs the per-candidate gather
+        radius = jnp.dot(oh, dch.T,
+                         precision=jax.lax.Precision.HIGHEST,
+                         preferred_element_type=jnp.float32)    # (V, C)
+        kch = jax.lax.dynamic_slice(kept_ord, (base,), (CHUNK,))
+        inside = ((d_flat[:, None] <= radius) & kch[None, :]).T  # (C, V)
 
-    labels = jax.lax.fori_loop(0, k, body, labels0)
+        def body(i, labels):
+            c = base + i
+            corner = jnp.round(centers_ord[c] - half).astype(jnp.int32) + \
+                jnp.asarray(pad, jnp.int32)
+            corner = jnp.clip(corner, 0, jnp.asarray(
+                [cs - b for cs, b in zip(canvas_shape, box)], jnp.int32))
+            patch = jax.lax.dynamic_slice(labels, corner, box)
+            patch = jnp.where(inside[i].reshape(box), ranks_ord[c], patch)
+            return jax.lax.dynamic_update_slice(labels, patch, corner)
+
+        return jax.lax.fori_loop(0, CHUNK, body, labels)
+
+    labels = jax.lax.fori_loop(0, n_chunks, chunk_body, labels0)
     sl = tuple(slice(p, p + s) for p, s in zip(pad, image_shape))
     return labels[sl]

@@ -134,16 +134,22 @@ def build_subregion_atlas(label_image: jax.Array,
                           tuple(int(s) for s in label_image.shape))
 
 
-def _box_widths(boxes: jax.Array) -> jax.Array:
-    """(n, 3) per-cell true occupied extent of each padded box (the
-    reference's ``region_width``, tracker.py:1107)."""
-    n = boxes.shape[0]
-    widths = []
+def _box_extents(boxes: jax.Array) -> Tuple[jax.Array, jax.Array]:
+    """Per-cell TIGHT start offset and width of each padded box, per axis
+    — the reference's ``region_xyz_min`` (relative to the box origin) and
+    ``region_width`` (track.py:520-534: tight bbox of the cell, NOT the
+    fixed box).  Empty boxes get (0, 0)."""
+    starts, widths = [], []
     for ax, other in ((1, (2, 3)), (2, (1, 3)), (3, (1, 2))):
         any_line = jnp.any(boxes, axis=other)            # (n, len_ax)
-        idx = jax.lax.broadcasted_iota(jnp.int32, any_line.shape, 1) + 1
-        widths.append(jnp.max(jnp.where(any_line, idx, 0), axis=1))
-    return jnp.stack(widths, axis=1)
+        L = any_line.shape[1]
+        idx = jax.lax.broadcasted_iota(jnp.int32, any_line.shape, 1)
+        first = jnp.min(jnp.where(any_line, idx, L), axis=1)
+        last1 = jnp.max(jnp.where(any_line, idx + 1, 0), axis=1)
+        nonempty = last1 > 0
+        starts.append(jnp.where(nonempty, first, 0))
+        widths.append(jnp.where(nonempty, last1 - first, 0))
+    return jnp.stack(starts, axis=1), jnp.stack(widths, axis=1)
 
 
 def _reference_in_bounds(atlas: "SubregionAtlas", movements: jax.Array,
@@ -153,13 +159,14 @@ def _reference_in_bounds(atlas: "SubregionAtlas", movements: jax.Array,
     (``:1107``), a cell is pasted only when its own extent fits the padded
     canvas (a shape mismatch skips it), and the negative-slicing wrap case
     lands entirely inside the pad — invisible after cropping, i.e. an
-    effective drop.  Evaluated in the unpadded frame:
-    ``-pad_ref <= origin + move`` and ``origin + move + width <= S +
-    pad_ref`` per axis."""
-    w = _box_widths(atlas.boxes)
+    effective drop.  All bounds use the TIGHT per-cell bbox (min + width,
+    ``region_xyz_min``/``region_width``), not the fixed atlas box:
+    ``-pad_ref <= tight_min + move`` and ``tight_min + move + width <=
+    S + pad_ref`` per axis."""
+    starts, w = _box_extents(atlas.boxes)
     w_valid = jnp.where(atlas.valid[:, None], w, 0)
     pad_ref = jnp.max(w_valid, axis=0)                       # (3,)
-    base = atlas.origins + movements.astype(jnp.int32)
+    base = atlas.origins + starts + movements.astype(jnp.int32)
     lim = jnp.asarray(full_shape, jnp.int32)[None, :] + pad_ref[None, :]
     return jnp.all((base >= -pad_ref[None, :]) & (base + w <= lim), axis=1)
 

@@ -382,15 +382,16 @@ def draw_correction(image_cell_bg_xyz, pred_layer, seg_layer,
     return fig
 
 
-def draw_overlapping(raw_img3d, tracked_labels_prev, tracked_labels,
+def draw_overlapping(regions_img3d, labels_before, labels_after,
                      z_xy_ratio: float = 1.0, path: Optional[str] = None):
     """Before/after label overlay (tracker.py:316-390 ``draw_overlapping``
-    + ``_draw_matching``): raw projections in gray with the previous and
-    the freshly moved tracked labels."""
-    raw = np.asarray(raw_img3d)
+    + ``_draw_matching``): the current volume's cell regions in gray,
+    overlaid with the vol-1 interpolated labels ("before matching") and
+    the freshly moved tracked labels ("after matching")."""
+    raw = np.asarray(regions_img3d)
     fig, axs = plt.subplots(2, 2, figsize=(14, 14))
-    for ax, lab, title in ((axs[0], tracked_labels_prev, "before matching"),
-                           (axs[1], tracked_labels, "after matching")):
+    for ax, lab, title in ((axs[0], labels_before, "before matching"),
+                           (axs[1], labels_after, "after matching")):
         lab = np.asarray(lab).astype(np.int64)
         ax[0].imshow(raw.max(axis=2), cmap="gray")
         ax[0].imshow(np.ma.masked_equal(lab.max(axis=2), 0)

@@ -256,3 +256,42 @@ def test_move_cells_sampled_reference_paste_parity(atlas_and_ref):
                                   want_l[:, :, f // 2::f])
     np.testing.assert_array_equal(np.asarray(got_m),
                                   want_m[:, :, f // 2::f])
+
+
+def test_reference_drop_uses_tight_extents():
+    """tracker.py:1369-1376 slices from the TIGHT region min
+    (region_xyz_min) with the TIGHT width; a box whose smoothed mask has a
+    leading gap must use min+gap in the bounds test.  A cell moved so that
+    box_origin+move < -pad but tight_min+move >= -pad is KEPT by the
+    reference (regression: the old test measured from box index 0 and
+    dropped it)."""
+    import jax.numpy as jnp
+    from t3dct.ops.subregions import SubregionAtlas
+
+    f = 1
+    shape = (20, 20, 6)
+    # one cell: box (6, 6, 3) with a 2-voxel leading gap on axis 0
+    box = np.zeros((1, 6, 6, 3), bool)
+    box[0, 2:5, 0:3, 0:2] = True            # tight start (2, 0, 0), w (3,3,2)
+    origins = np.array([[4, 5, 1]], np.int32)
+    atlas = SubregionAtlas(jnp.asarray(box), jnp.asarray(origins),
+                           jnp.ones((1,), bool), f, shape)
+    # pad_ref = tight width = (3, 3, 2).  move so origin+move = -5 on axis0
+    # (< -pad=-3) but tight_min+move = -3 >= -pad: reference KEEPS it
+    move = np.array([[-9, 0, 0]], np.int32)
+    labels, _ = move_cells_full(atlas, jnp.asarray(move),
+                                overlap_mode="last", out_of_range="drop")
+    labels = np.asarray(labels)
+    # pasted rows: tight rows at volume x in [-3, 0): fully above the
+    # volume -> nothing visible BUT the cell was not dropped; prove the
+    # keep/drop decision via a less extreme move that leaves one row
+    move2 = np.array([[-6, 0, 0]], np.int32)    # tight_min+move = 0
+    labels2, _ = move_cells_full(atlas, jnp.asarray(move2),
+                                 overlap_mode="last", out_of_range="drop")
+    labels2 = np.asarray(labels2)
+    assert labels2.sum() > 0                    # kept and visible
+    # and one past the reference bound IS dropped: tight_min+move = -4 < -3
+    move3 = np.array([[-10, 0, 0]], np.int32)
+    labels3, _ = move_cells_full(atlas, jnp.asarray(move3),
+                                 overlap_mode="last", out_of_range="drop")
+    assert np.asarray(labels3).sum() == 0
