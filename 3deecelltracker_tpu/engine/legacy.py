@@ -580,7 +580,7 @@ class Tracker:
         return draw_overlapping(
             np.asarray(self.segresult.image_cell_bg) > 0.5,
             self.segmentation_manual_relabels, self.tracked_labels,
-            z_xy_ratio=self.z_xy_ratio)
+            z_xy_ratio=self.z_xy_ratio, volume2=volume2)
 
     # ---- public tracking API --------------------------------------------------
     def match(self, target_volume: int, method="min_size"):

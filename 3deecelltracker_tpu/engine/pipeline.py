@@ -185,30 +185,34 @@ def track_timelapse(results_dir: Union[str, Path],
     # while a separate synchronous upload costs a ~50 ms round-trip, and
     # there are three arrays per volume.  (Building seg Coordinates
     # through jnp on the main thread used to cost ~95 ms/volume.)
-    max_cells = tracker.max_cells
     vs_np = np.asarray(transformer.voxel_size, np.float32)
+    miss = set(miss_frame or [])
+    # single mode pairs each volume with the LAST NON-MISSED frame (a miss
+    # frame has no seg artifacts to load); ensemble mode loads only the
+    # prob map — its reference volumes come from get_volumes_list
+    prev_of: Dict[int, int] = {}
+    _prev = t_min
+    for _t in range(t_min + 1, t_max + 1):
+        if _t in miss:
+            continue
+        prev_of[_t] = _prev
+        _prev = _t
 
-    def _pad_np(raw_pts):
-        real = np.asarray(raw_pts, np.float32) * vs_np
-        n = real.shape[0]
-        if n > max_cells:
-            raise ValueError(f"{n} cells exceeds max_cells={max_cells}")
-        out = np.full((max_cells, 3), 1e6, np.float32)
-        out[:n] = real
-        mask = np.zeros(max_cells, bool)
-        mask[:n] = True
-        return out, mask
+    def _pad_real(raw_pts):
+        return tracker._pad_np(np.asarray(raw_pts, np.float32) * vs_np)
 
     def _load_inputs(t2):
         prob = transformer.tree.load_seg_prob(t2).astype(np.float16)
-        p1, m1 = _pad_np(transformer.tree.load_seg_coords(t2 - 1))
-        p2, m2 = _pad_np(transformer.tree.load_seg_coords(t2))
+        if config.ensemble:
+            return prob, None, None
+        p1, m1 = _pad_real(transformer.tree.load_seg_coords(prev_of[t2]))
+        p2, m2 = _pad_real(transformer.tree.load_seg_coords(t2))
         return prob, np.stack([p1, p2]), np.stack([m1, m2])
 
     prob_iter = iter(VolumePrefetcher(
         _load_inputs,
-        [t for t in range(t_min + 1, t_max + 1)
-         if t not in (miss_frame or [])], depth=2, workers=2))
+        [t for t in range(t_min + 1, t_max + 1) if t not in miss],
+        depth=2, workers=2))
     grid_t = tuple(int(g) for g in grid)
     labels_u8 = transformer.coord_vol1.real.shape[0] <= 255
 

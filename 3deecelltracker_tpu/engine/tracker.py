@@ -139,7 +139,10 @@ class TrackerLite:
             np.ceil(n1 * 1.5 / 64) * 64)
 
     # ---- helpers -----------------------------------------------------------
-    def _pad(self, pts: np.ndarray):
+    def _pad_np(self, pts: np.ndarray):
+        """Pad a point set to the static ``max_cells`` shape (host arrays).
+        THE padding contract — every caller (device or host) goes through
+        here so the parking value/mask semantics can never diverge."""
         n = pts.shape[0]
         if n > self.max_cells:
             raise ValueError(
@@ -150,6 +153,10 @@ class TrackerLite:
         out[n:] = 1e6
         mask = np.zeros(self.max_cells, bool)
         mask[:n] = True
+        return out, mask
+
+    def _pad(self, pts: np.ndarray):
+        out, mask = self._pad_np(np.asarray(pts))
         return jnp.asarray(out), jnp.asarray(mask)
 
     def _get_segmented_pos(self, t: int) -> Coordinates:

@@ -96,11 +96,17 @@ class StarDist3DNet:
     def init(self, key: jax.Array) -> Params:
         cfg = self.config
         if self.arch == "keras":
-            keys = jax.random.split(key, 64)
+            plan = self._keras_plan()
+            keys = jax.random.split(key, max(64, len(plan)))
             return {name: L.init_conv3d(keys[i], kernel, cin, cout)
-                    for i, (name, cin, cout, kernel)
-                    in enumerate(self._keras_plan())}
-        keys = iter(jax.random.split(key, 32))
+                    for i, (name, cin, cout, kernel) in enumerate(plan)}
+        ncv = cfg.unet_n_conv_per_depth
+        # stem + features + 2 heads + ncv convs per down/bottom/up level;
+        # keep the historical 32-way split when it suffices (a different
+        # split count yields different keys, changing every existing
+        # seeded init)
+        keys = iter(jax.random.split(
+            key, max(32, 4 + ncv * (2 * cfg.unet_n_depth + 1))))
         f = cfg.unet_n_filter_base
         k = cfg.unet_kernel_size
         params: Params = {}
@@ -112,15 +118,17 @@ class StarDist3DNet:
         c = f
         filters = [f * (2 ** lvl) for lvl in range(cfg.unet_n_depth + 1)]
         for lvl in range(cfg.unet_n_depth):
-            conv(f"down{lvl}_0", c, filters[lvl])
-            conv(f"down{lvl}_1", filters[lvl], filters[lvl])
-            c = filters[lvl]
-        conv("bottom_0", c, filters[-1])
-        conv("bottom_1", filters[-1], filters[-1])
-        c = filters[-1]
+            for i in range(ncv):
+                conv(f"down{lvl}_{i}", c, filters[lvl])
+                c = filters[lvl]
+        for i in range(ncv):
+            conv(f"bottom_{i}", c, filters[-1])
+            c = filters[-1]
         for lvl in reversed(range(cfg.unet_n_depth)):
-            conv(f"up{lvl}_0", c + filters[lvl], filters[lvl])
-            conv(f"up{lvl}_1", filters[lvl], filters[lvl])
+            for i in range(ncv):
+                conv(f"up{lvl}_{i}",
+                     (c + filters[lvl]) if i == 0 else filters[lvl],
+                     filters[lvl])
             c = filters[lvl]
         conv("features", c, cfg.net_conv_after_unet)
         conv("prob_head", cfg.net_conv_after_unet, 1, kernel=(1, 1, 1))
@@ -150,18 +158,19 @@ class StarDist3DNet:
             h = L.max_pool3d(h, cfg.grid)
         h = conv("stem", h)
         skips = []
+        ncv = cfg.unet_n_conv_per_depth
         for lvl in range(cfg.unet_n_depth):
-            h = conv(f"down{lvl}_0", h)
-            h = conv(f"down{lvl}_1", h)
+            for i in range(ncv):
+                h = conv(f"down{lvl}_{i}", h)
             skips.append(h)
             h = L.max_pool3d(h, cfg.unet_pool)
-        h = conv("bottom_0", h)
-        h = conv("bottom_1", h)
+        for i in range(ncv):
+            h = conv(f"bottom_{i}", h)
         for lvl in reversed(range(cfg.unet_n_depth)):
             h = L.upsample3d(h, cfg.unet_pool)
             h = jnp.concatenate([h, skips[lvl].astype(h.dtype)], axis=-1)
-            h = conv(f"up{lvl}_0", h)
-            h = conv(f"up{lvl}_1", h)
+            for i in range(ncv):
+                h = conv(f"up{lvl}_{i}", h)
         feat = conv("features", h)
         prob = jax.nn.sigmoid(L.conv3d(params["prob_head"], feat,
                                        compute_dtype))
@@ -245,7 +254,7 @@ class StarDist3DNet:
                 convs(ncv)
                 pool(p)
         else:
-            ncv = 2                       # two convs per level in this arch
+            ncv = cfg.unet_n_conv_per_depth
             pool(cfg.grid)                # grid max-pool runs before stem
             convs(1)                      # stem
         for _lvl in range(cfg.unet_n_depth):

@@ -383,15 +383,24 @@ def draw_correction(image_cell_bg_xyz, pred_layer, seg_layer,
 
 
 def draw_overlapping(regions_img3d, labels_before, labels_after,
-                     z_xy_ratio: float = 1.0, path: Optional[str] = None):
+                     z_xy_ratio: float = 1.0, path: Optional[str] = None,
+                     volume2: Optional[int] = None,
+                     vol_labels: int = 1):
     """Before/after label overlay (tracker.py:316-390 ``draw_overlapping``
     + ``_draw_matching``): the current volume's cell regions in gray,
     overlaid with the vol-1 interpolated labels ("before matching") and
-    the freshly moved tracked labels ("after matching")."""
+    the freshly moved tracked labels ("after matching").  ``volume2`` /
+    ``vol_labels`` annotate the titles like the reference's."""
     raw = np.asarray(regions_img3d)
     fig, axs = plt.subplots(2, 2, figsize=(14, 14))
-    for ax, lab, title in ((axs[0], labels_before, "before matching"),
-                           (axs[1], labels_after, "after matching")):
+    at = "" if volume2 is None else f": cells at vol {volume2}"
+    for ax, lab, title in (
+            (axs[0], labels_before,
+             f"Before matching{at}"
+             + ("" if volume2 is None else f" + labels at vol {vol_labels}")),
+            (axs[1], labels_after,
+             f"After matching{at}"
+             + ("" if volume2 is None else f" + labels at vol {volume2}"))):
         lab = np.asarray(lab).astype(np.int64)
         ax[0].imshow(raw.max(axis=2), cmap="gray")
         ax[0].imshow(np.ma.masked_equal(lab.max(axis=2), 0)

@@ -11,7 +11,7 @@ What is measured (the actual entry points a user calls, per VERDICT r1 #3):
      correction + boundary recalculation over the ``seg/`` artifacts with
      a briefly-trained FFN, writing coords npy + label TIFFs.
 
-Recording: 10 timed volumes of (z=24, y=401, x=168) uint16 with ~150
+Recording: 1 warm + 20 timed volumes of (z=24, y=401, x=168) uint16 with ~150
 drifting cells (worm1 demo scale: voxel_size (1,1,9.2), 96 rays,
 grid (1,2,2), beta=lambda=3 — SURVEY §6).  Segmentation throughput is
 weight-independent (fixed shapes end-to-end), so the StarDist net runs
@@ -51,29 +51,26 @@ VOXEL_SIZE = (1.0, 1.0, 9.2)
 REFERENCE_VOLS_PER_SEC = 0.2     # driver-set TF/3080Ti e2e estimate
 
 
-def make_recording(raw_dir: Path):
-    """Synthetic worm recording: N_CELLS gaussian cells drifting smoothly,
-    saved as per-(t,z) uint16 TIFF slices.  Returns (images_path pattern,
-    {t: centers (n,3) zyx}, vol-1 labels (z,y,x))."""
-    from t3dct.io.imageio import save_label_slices
-
-    rng = np.random.RandomState(0)
+def make_drifting_centers(n_vols: int = N_VOLS, n_cells: int = N_CELLS,
+                          shape=(Z, Y, X), rng=None):
+    """THE synthetic worm scene: ``n_cells`` rejection-sampled centers
+    drifting smoothly; {t: (n, 3) zyx float32}.  Shared by this benchmark
+    and ``scripts/compare_reference_accuracy.py`` so the accuracy-parity
+    numbers are measured on exactly the benchmarked workload."""
+    z, y, x = shape
+    if rng is None:
+        rng = np.random.RandomState(0)
     centers = []
-    while len(centers) < N_CELLS:
-        c = np.array([rng.uniform(4, Z - 4), rng.uniform(12, Y - 12),
-                      rng.uniform(12, X - 12)])
+    while len(centers) < n_cells:
+        c = np.array([rng.uniform(4, z - 4), rng.uniform(12, y - 12),
+                      rng.uniform(12, x - 12)])
         if all((abs(c[0] - o[0]) > 2.5) or (np.hypot(c[1] - o[1],
                                                      c[2] - o[2]) > 9)
                for o in centers):
             centers.append(c)
     centers0 = np.asarray(centers, np.float32)
-
-    zz = np.arange(Z, dtype=np.float32)
-    sig = np.array([1.1, 3.0, 3.0], np.float32)
     centers_by_t = {}
-    images_path = str(raw_dir / "raw_t%03i_z*.tif")
-    lab1 = np.zeros((Z, Y, X), np.int32)
-    for t in range(1, N_VOLS + 1):
+    for t in range(1, n_vols + 1):
         # smooth, invertible-ish deformation
         ph = 0.35 * (t - 1)
         c = centers0.copy()
@@ -81,6 +78,25 @@ def make_recording(raw_dir: Path):
         c[:, 2] += 2.5 * np.cos(centers0[:, 1] / 35.0 + ph)
         c[:, 0] += 0.3 * np.sin(centers0[:, 1] / 50.0 + ph)
         centers_by_t[t] = c
+    return centers_by_t
+
+
+def make_recording(raw_dir: Path):
+    """Synthetic worm recording: N_CELLS gaussian cells drifting smoothly,
+    saved as per-(t,z) uint16 TIFF slices.  Returns (images_path pattern,
+    {t: centers (n,3) zyx}, vol-1 labels (z,y,x))."""
+    from t3dct.io.imageio import save_label_slices
+
+    rng = np.random.RandomState(0)
+    # the shared rng keeps the noise stream identical to the pre-refactor
+    # recording (the sampling draws used to come first on the same rng)
+    centers_by_t = make_drifting_centers(rng=rng)
+    zz = np.arange(Z, dtype=np.float32)
+    sig = np.array([1.1, 3.0, 3.0], np.float32)
+    images_path = str(raw_dir / "raw_t%03i_z*.tif")
+    lab1 = np.zeros((Z, Y, X), np.int32)
+    for t in range(1, N_VOLS + 1):
+        c = centers_by_t[t]
         img = rng.rand(Z, Y, X).astype(np.float32) * 0.06
         for i, (cz, cy, cx) in enumerate(c):
             z0, z1 = max(0, int(cz) - 4), min(Z, int(cz) + 5)

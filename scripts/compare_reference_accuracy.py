@@ -44,29 +44,18 @@ Z, Y, X = 24, 401, 168
 
 
 def make_seg_artifacts(results: Path):
-    """GT-derived seg/coords artifacts: the same drifting-cell generator
-    as bench.py (jittered centers, (y, x, z) on disk)."""
-    rng = np.random.RandomState(0)
-    centers = []
-    while len(centers) < N_CELLS:
-        c = np.array([rng.uniform(4, Z - 4), rng.uniform(12, Y - 12),
-                      rng.uniform(12, X - 12)])
-        if all((abs(c[0] - o[0]) > 2.5) or (np.hypot(c[1] - o[1],
-                                                     c[2] - o[2]) > 9)
-               for o in centers):
-            centers.append(c)
-    centers0 = np.asarray(centers, np.float32)
+    """GT-derived seg/coords artifacts from THE shared drifting-cell
+    generator (``bench.make_drifting_centers`` — the benchmarked
+    workload); jittered centers saved (y, x, z) on disk."""
+    from bench import make_drifting_centers
+
+    gt_by_t = make_drifting_centers(n_vols=T_VOLS, n_cells=N_CELLS,
+                                    shape=(Z, Y, X))
     jrng = np.random.RandomState(1)
     (results / "seg").mkdir(parents=True, exist_ok=True)
-    gt_by_t = {}
     for t in range(1, T_VOLS + 1):
-        ph = 0.35 * (t - 1)
-        c = centers0.copy()
-        c[:, 1] += 2.5 * np.sin(centers0[:, 2] / 30.0 + ph)
-        c[:, 2] += 2.5 * np.cos(centers0[:, 1] / 35.0 + ph)
-        c[:, 0] += 0.3 * np.sin(centers0[:, 1] / 50.0 + ph)
-        gt_by_t[t] = c
-        pts = c + jrng.randn(*c.shape).astype(np.float32) * 0.25
+        pts = gt_by_t[t] + jrng.randn(*gt_by_t[t].shape).astype(
+            np.float32) * 0.25
         np.save(results / "seg" / ("coords%06d.npy" % t),
                 pts[:, [1, 2, 0]])            # (y, x, z) raw frame
     return gt_by_t

@@ -231,3 +231,25 @@ def test_predict_and_save_batched_partial_recording(tmp_path, small_model):
     for t in range(1, 6):
         assert (tmp_path / "r" / "seg" / ("coords%06d.npy" % t)).exists()
         assert (tmp_path / "r" / "seg" / ("prob%06d.npy" % t)).exists()
+
+
+def test_tpu_arch_honors_n_conv_per_depth():
+    """unet_n_conv_per_depth must shape the DEFAULT backbone too (it used
+    to be silently ignored outside arch='keras')."""
+    import jax
+
+    cfg3 = StarDistConfig(n_rays=8, grid=(1, 2, 2),
+                          anisotropy=(2.0, 1.0, 1.0), unet_n_depth=1,
+                          unet_n_filter_base=4, net_conv_after_unet=8,
+                          unet_n_conv_per_depth=3)
+    net = StarDist3DNet(cfg3)
+    params = net.init(jax.random.PRNGKey(0))
+    assert "down0_2" in params and "bottom_2" in params and \
+        "up0_2" in params
+    x = jnp.ones((1, 8, 16, 16, 1))
+    prob, dist = net.apply(params, x)
+    assert prob.shape == (1, 8, 8, 8, 1)
+    # more convs -> wider receptive field than the 2-conv default
+    cfg2 = StarDistConfig(**{**cfg3.__dict__, "unet_n_conv_per_depth": 2})
+    assert all(a > b for a, b in zip(net.receptive_field(),
+                                     StarDist3DNet(cfg2).receptive_field()))

@@ -135,3 +135,52 @@ def test_activities_extraction(tmp_path, ffn_weights):
             thr = np.percentile(vals, 90)
             want = vals[vals > thr].mean()
             np.testing.assert_allclose(acts[ti, label - 1], want, rtol=2e-2)
+
+
+def test_track_timelapse_miss_frame_without_artifacts(tmp_path):
+    """A miss frame mid-recording has NO seg artifacts (predict_and_save
+    never wrote them); single mode must pair each volume with the last
+    non-missed frame and carry coordinates through (trackerlite
+    miss_frame semantics)."""
+    import jax
+    from t3dct.config import TrackingConfig
+    from t3dct.engine.pipeline import track_timelapse
+    from t3dct.io.artifacts import ResultsTree
+    from t3dct.io.imageio import save_label_slices
+    from t3dct.models.ffn import FFN
+
+    rng = np.random.RandomState(4)
+    shape = (30, 40, 6)                     # (x, y, z) pipeline frame
+    n = 5
+    tree = ResultsTree(tmp_path)
+    tree.make_dirs()
+    pts = np.stack([rng.uniform(8, 22, n), rng.uniform(8, 32, n),
+                    rng.uniform(2, 4, n)], 1).astype(np.float32)
+    lab1 = np.zeros(shape, np.int32)
+    for i, (cx, cy, cz) in enumerate(pts):
+        lab1[int(cx) - 2:int(cx) + 2, int(cy) - 2:int(cy) + 2,
+             int(cz) - 1:int(cz) + 1] = i + 1
+    save_label_slices(lab1, tmp_path / "manual_vol1",
+                      "manual_vol1_z%04i_t%04i.tif", 0, use_8_bit=True)
+    gz, gy = shape[0], shape[1]
+    for t in (1, 2, 4, 5):                  # t=3 is the miss frame
+        drift = 0.3 * (t - 1)
+        tree.save_seg_coords(t, pts + drift)
+        prob = np.zeros(shape, np.float32)
+        for cx, cy, cz in pts + drift:
+            prob[max(0, int(cx) - 2):int(cx) + 2,
+                 max(0, int(cy) - 2):int(cy) + 2,
+                 max(0, int(cz) - 1):int(cz) + 1] = 1.0
+        tree.save_seg_prob(t, prob)
+
+    params, state = FFN().init(jax.random.PRNGKey(0))
+    coords = track_timelapse(
+        tmp_path, str(tmp_path / "manual_vol1" / "*.tif"),
+        (params, state), voxel_size=(1, 1, 2.0), interpolation_factor=2,
+        t_range=(1, 5), miss_frame=[3],
+        config=TrackingConfig(beta=3.0, lambda_=3.0), verbose=False)
+    assert set(coords) == {1, 2, 3, 4, 5}
+    for t in coords:
+        assert np.all(np.isfinite(coords[t]))
+    # the missed frame carries the previous coordinates forward
+    np.testing.assert_array_equal(coords[3], coords[2])
