@@ -410,7 +410,21 @@ class StarDist3D:
 
         prog = self._get_tile_program(tiles, shr, vol, tile_candidates)
         mi, ma = norm_minmax
+        # pipelined: keep a window of tiles in flight (async dispatch) and
+        # fetch the oldest as new ones launch — a fetch inside the
+        # dispatch loop serializes upload -> compute -> download per tile
+        # (measured 2x slower through a high-latency link); an unbounded
+        # window would hold every tile input in HBM at once.
+        in_flight = 8
+        pending: list = []
         parts = []
+
+        def fetch_one():
+            og, out = pending.pop(0)
+            prob_c, top_p, dists, pts, valid = jax.device_get(out)
+            self._paste_tile_prob(prob_map, prob_c, og, c_g, gshape)
+            parts.append((top_p, dists, pts, valid))
+
         for origin in plan.origins:
             o = tuple(int(v) for v in origin)
             tile = padded[o[0]:o[0] + tiles[0], o[1]:o[1] + tiles[1],
@@ -419,9 +433,11 @@ class StarDist3D:
             out = prog(self.params, jnp.asarray(tile),
                        np.float32(mi), np.float32(ma),
                        np.asarray(og, np.int32), np.float32(prob_thresh))
-            prob_c, top_p, dists, pts, valid = jax.device_get(out)
-            self._paste_tile_prob(prob_map, prob_c, og, c_g, gshape)
-            parts.append((top_p, dists, pts, valid))
+            pending.append((og, out))
+            if len(pending) > in_flight:
+                fetch_one()
+        while pending:
+            fetch_one()
 
         return self._combine_tile_parts(parts, prob_map, vol, nms_thresh,
                                         return_labels)
