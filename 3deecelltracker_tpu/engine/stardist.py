@@ -476,8 +476,11 @@ class StarDist3D:
         tiles, shr = tuple(tiles), tuple(shr)
         plan = plan_tiles(vol, tiles, shr)
 
+        # keep the caller's dtype: raw uint16 microscopy volumes upload at
+        # half the bytes of float32 (the tile program casts + normalizes
+        # on device with the caller's norm_minmax percentiles)
         padded = np.pad(
-            x.astype(np.float32),
+            x,
             [(s, p - v - s) for s, p, v in zip(shr, plan.padded_shape, vol)],
             mode="reflect")
         gshape = tuple(-(-v // g) for v, g in zip(vol, grid))
@@ -549,7 +552,7 @@ class StarDist3D:
         origins = [tuple(int(v) for v in o) for o in plan.origins]
         n_tiles = len(origins)
         n_pad = (-n_tiles) % n_dev
-        stack = np.empty((n_tiles + n_pad,) + tiles, np.float32)
+        stack = np.empty((n_tiles + n_pad,) + tiles, padded.dtype)
         ogs = np.zeros((n_tiles + n_pad, 3), np.int32)
         for i, o in enumerate(origins):
             stack[i] = padded[o[0]:o[0] + tiles[0], o[1]:o[1] + tiles[1],

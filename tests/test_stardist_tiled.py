@@ -173,3 +173,23 @@ def test_sharded_tiles_match_sequential():
     np.testing.assert_array_equal(det_sh["points"], det_seq["points"])
     np.testing.assert_allclose(det_sh["prob"], det_seq["prob"], atol=1e-6)
     np.testing.assert_array_equal(np.asarray(lab_sh), np.asarray(lab_seq))
+
+
+def test_tiled_raw_uint16_matches_normalized_float():
+    """Raw uint16 input + percentile scalars must give the same instances
+    as host-normalized float (the half-upload-bytes path)."""
+    cfg = _cfg_small()
+    model = StarDist3D(cfg, max_candidates=64, render_box=(9, 17, 17))
+    rng = np.random.default_rng(9)
+    raw = (rng.random((16, 96, 96)) * 50000).astype(np.uint16)
+    mi, ma = np.percentile(raw, [1.0, 99.8])
+    xf = ((raw.astype(np.float32) - mi) / (ma - mi)).astype(np.float32)
+
+    (lf, df), pf = model.predict_instances_tiled(
+        xf, tile_shape=(None, 72, 72), prob_thresh=0.55)
+    (lr, dr), pr = model.predict_instances_tiled(
+        raw, tile_shape=(None, 72, 72), prob_thresh=0.55,
+        norm_minmax=(float(mi), float(ma)))
+    np.testing.assert_allclose(pr, pf, atol=2e-6)
+    np.testing.assert_array_equal(dr["points"], df["points"])
+    np.testing.assert_array_equal(np.asarray(lr), np.asarray(lf))
