@@ -193,3 +193,19 @@ def test_tiled_raw_uint16_matches_normalized_float():
     np.testing.assert_allclose(pr, pf, atol=2e-6)
     np.testing.assert_array_equal(dr["points"], df["points"])
     np.testing.assert_array_equal(np.asarray(lr), np.asarray(lf))
+
+
+def test_sharded_raw_uint16_matches_tiled():
+    cfg = _cfg_small()
+    model = StarDist3D(cfg, max_candidates=64, render_box=(9, 17, 17))
+    rng = np.random.default_rng(10)
+    raw = (rng.random((16, 96, 96)) * 50000).astype(np.uint16)
+    mi, ma = np.percentile(raw, [1.0, 99.8])
+    (lt, dt_), _ = model.predict_instances_tiled(
+        raw, tile_shape=(None, 72, 72), prob_thresh=0.55,
+        norm_minmax=(float(mi), float(ma)))
+    (ls, ds), _ = model.predict_instances_sharded(
+        raw, tile_shape=(None, 72, 72), prob_thresh=0.55,
+        norm_minmax=(float(mi), float(ma)))
+    np.testing.assert_array_equal(ds["points"], dt_["points"])
+    np.testing.assert_array_equal(np.asarray(ls), np.asarray(lt))
