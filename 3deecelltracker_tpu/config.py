@@ -74,6 +74,9 @@ class TrackingConfig:
     boundary_xy: int = 6
     max_correction_reps: int = 20
     correction_epsilon_voxels: float = 0.5
+    # >0: compensated (double-single) EM M-step solve (EXPERIMENTAL —
+    # measured worse end-to-end; see ops/prgls.py ``m_step_refine``)
+    m_step_refine: int = 0
 
 
 @dataclasses.dataclass(frozen=True)

@@ -583,11 +583,14 @@ class Tracker:
             z_xy_ratio=self.z_xy_ratio, volume2=volume2)
 
     # ---- public tracking API --------------------------------------------------
-    def match(self, target_volume: int, method="min_size"):
-        """tracker.py:1138-1175."""
+    def match(self, target_volume: int, method="min_size", segresult=None):
+        """tracker.py:1138-1175.  ``segresult`` injects a precomputed
+        segmentation (parity harnesses / pipelines that segment
+        elsewhere); default segments from the raw images on disk."""
         if target_volume in self.miss_frame:
             raise ValueError("target_volume is a miss_frame")
-        self.segresult = self._segment(target_volume, method)
+        self.segresult = segresult if segresult is not None else \
+            self._segment(target_volume, method)
         r_coor_predicted, anim = self._predict_pos_once(source_volume=1)
         cells_bd = self._get_cells_onBoundary(r_coor_predicted,
                                               self.ensemble)
@@ -612,8 +615,9 @@ class Tracker:
         for vol in range(from_volume, self.volume_num + 1):
             self.track_one_vol(vol)
 
-    def track_one_vol(self, target_volume: int, method="min_size"):
-        """tracker.py:1473-1536."""
+    def track_one_vol(self, target_volume: int, method="min_size",
+                      segresult=None):
+        """tracker.py:1473-1536.  ``segresult`` as in :meth:`match`."""
         if target_volume in self.miss_frame:
             save_label_slices(self.tracked_labels, self.paths.track_results,
                               "track_results_t%06i_z%04i.tif",
@@ -627,7 +631,8 @@ class Tracker:
                 self.history.r_displacements[-1])
             return
 
-        self.segresult = self._segment(target_volume, method)
+        self.segresult = segresult if segresult is not None else \
+            self._segment(target_volume, method)
         source_vols = get_reference_vols(self.ensemble, target_volume,
                                          adjacent=self.adjacent)
         predictions = []

@@ -39,7 +39,8 @@ from .transformer import (BOUNDARY_XY, CoordsToImageTransformer,
 
 @functools.partial(jax.jit, static_argnames=(
     "voxel_size", "image_shape", "ensemble", "max_repetition",
-    "k_points", "max_iteration", "prob_grid", "labels_u8"))
+    "k_points", "max_iteration", "prob_grid", "labels_u8",
+    "m_step_refine"))
 def fused_track_and_correct(ffn_params, ffn_state,
                             confirmed_raw: jax.Array,
                             coord_vol1_raw: jax.Array,
@@ -54,7 +55,8 @@ def fused_track_and_correct(ffn_params, ffn_state,
                             k_points: int = 20,
                             max_iteration: int = 2000,
                             prob_grid: Tuple[int, int, int] = (1, 1, 1),
-                            labels_u8: bool = False):
+                            labels_u8: bool = False,
+                            m_step_refine: int = 0):
     """One volume of the tracking recurrence as a SINGLE device program:
     FFN matching + PR-GLS + boundary flagging + accurate correction +
     boundary recalculation.  One dispatch per volume instead of six —
@@ -78,7 +80,8 @@ def fused_track_and_correct(ffn_params, ffn_state,
                               seg_t2_real, seg_t2_mask,
                               beta=beta, lambda_=lambda_,
                               k_points=k_points,
-                              max_iteration=max_iteration)
+                              max_iteration=max_iteration,
+                              m_step_refine=m_step_refine)
     boundary = get_cells_on_boundary(tracked_real, image_shape, voxel_size,
                                      ensemble=ensemble,
                                      boundary_xy=BOUNDARY_XY)
@@ -246,7 +249,8 @@ def track_timelapse(results_dir: Union[str, Path],
                     tracker.ffn_params, tracker.ffn_state,
                     confirmed_stack, jnp.stack(seg1s), jnp.stack(mask1s),
                     seg2, mask2, beta=config.beta, lambda_=config.lambda_,
-                    trim_proportion=config.trim_proportion)
+                    trim_proportion=config.trim_proportion,
+                    m_step_refine=config.m_step_refine)
                 pred = Coordinates.from_real(
                     combined, transformer.interpolation_factor,
                     transformer.voxel_size)
@@ -280,7 +284,8 @@ def track_timelapse(results_dir: Union[str, Path],
                         beta=config.beta, lambda_=config.lambda_,
                         ensemble=False,
                         max_repetition=config.max_correction_reps,
-                        prob_grid=grid_t, labels_u8=labels_u8)
+                        prob_grid=grid_t, labels_u8=labels_u8,
+                        m_step_refine=config.m_step_refine)
                 corrected = Coordinates(
                     corrected_raw, transformer.interpolation_factor,
                     tuple(transformer.voxel_size))

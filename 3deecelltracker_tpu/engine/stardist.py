@@ -434,7 +434,7 @@ class StarDist3D:
                        np.float32(mi), np.float32(ma),
                        np.asarray(og, np.int32), np.float32(prob_thresh))
             pending.append((og, out))
-            if len(pending) > in_flight:
+            while len(pending) >= in_flight:
                 fetch_one()
         while pending:
             fetch_one()
@@ -654,7 +654,13 @@ def predict_and_save(images_path, model: StarDist3D,
     itself runs on device, halving upload bytes for uint16 data), device
     compute for volume t+1 dispatches while volume t's results transfer
     and write on a saver thread — the device never waits on codecs or
-    (remote-link) round-trip latency."""
+    (remote-link) round-trip latency.
+
+    Note: ``seg/prob*.npy`` written here holds float16-quantized values
+    (the device->host prob-map transfer rides as f16 to halve bytes;
+    ~5e-4 abs quantization, far below thresholding/correction-weight
+    sensitivity).  ``predict_sparse``/``predict_instances_tiled`` return
+    float32 prob maps."""
     import queue
     import threading
 
@@ -749,7 +755,9 @@ def predict_and_save(images_path, model: StarDist3D,
                 if len(group) >= batch_size:
                     flush_group()
             if errors:
-                raise errors[0]
+                break   # saver failed; surface its error after cleanup
+                # (raising here would hit the FileNotFoundError handler
+                # below and be misreported as a missing input image)
     except FileNotFoundError:
         flush_group()
         print(f"Warning: segmentation stopped; images at t={done_t + 1} "

@@ -33,16 +33,19 @@ BETA, LAMBDA, MAX_ITERATION = 3.0, 3.0, 2000   # trackerlite.py:29
 K_POINTS = 20                                  # trackerlite.py:30
 
 
-@functools.partial(jax.jit, static_argnames=("k_points", "max_iteration"))
+@functools.partial(jax.jit, static_argnames=("k_points", "max_iteration",
+                                             "m_step_refine"))
 def track_step(ffn_params, ffn_state,
                confirmed_t1_real: jax.Array,
                seg_t1_real: jax.Array, seg_t1_mask: jax.Array,
                seg_t2_real: jax.Array, seg_t2_mask: jax.Array,
                beta: float = BETA, lambda_: float = LAMBDA,
                k_points: int = K_POINTS,
-               max_iteration: int = MAX_ITERATION) -> jax.Array:
+               max_iteration: int = MAX_ITERATION,
+               m_step_refine: int = 0) -> jax.Array:
     """One tracking step (``predict_cell_positions`` trackerlite.py:70-109):
-    returns predicted real coordinates of the confirmed set at t2."""
+    returns predicted real coordinates of the confirmed set at t2.
+    ``m_step_refine``: compensated EM solve (see ``ops.prgls``)."""
     confirmed_norm, (mean, scale) = normalize_points(confirmed_t1_real)
     t1_norm = (seg_t1_real - mean) / scale
     t2_norm = (seg_t2_real - mean) / scale
@@ -55,7 +58,8 @@ def track_step(ffn_params, ffn_state,
     result = prgls_with_two_ref(
         prior, t2_norm, t1_norm, confirmed_norm,
         beta=beta, lambda_=lambda_, max_iteration=max_iteration,
-        tgt_mask=seg_t2_mask, ref_mask=seg_t1_mask)
+        tgt_mask=seg_t2_mask, ref_mask=seg_t1_mask,
+        m_step_refine=m_step_refine)
     return result.tracked * scale + mean
 
 
@@ -112,7 +116,8 @@ class TrackerLite:
                  ffn_weights,
                  proofed_coords_vol1: Coordinates,
                  miss_frame: Optional[List[int]] = None,
-                 max_cells: Optional[int] = None):
+                 max_cells: Optional[int] = None,
+                 m_step_refine: int = 0):
         if miss_frame is not None and not isinstance(miss_frame, list):
             raise TypeError(
                 f"miss_frame should be a list or None, got {type(miss_frame)}")
@@ -137,6 +142,7 @@ class TrackerLite:
         n1 = proofed_coords_vol1.cell_num
         self.max_cells = int(max_cells) if max_cells else int(
             np.ceil(n1 * 1.5 / 64) * 64)
+        self.m_step_refine = int(m_step_refine)
 
     # ---- helpers -----------------------------------------------------------
     def _pad_np(self, pts: np.ndarray):
@@ -183,7 +189,7 @@ class TrackerLite:
         tracked_real = track_step(
             self.ffn_params, self.ffn_state,
             jnp.asarray(confirmed_coord_t1.real), p1, m1, p2, m2,
-            beta=beta, lambda_=lambda_)
+            beta=beta, lambda_=lambda_, m_step_refine=self.m_step_refine)
         coords = Coordinates.from_real(
             tracked_real, self.proofed_coords_vol1.interpolation_factor,
             self.proofed_coords_vol1.voxel_size)

@@ -51,6 +51,11 @@ class StarDist3DNet:
         """Pooling steps that bring full resolution down to ``grid``
         (stardist model3d: ``pool = 1 + (grid > pooled)`` loop)."""
         grid = tuple(self.config.grid)
+        for g in grid:
+            if g < 1 or (g & (g - 1)) != 0:
+                raise ValueError(
+                    f"grid entries must be powers of 2, got {grid!r} "
+                    "(the pooling schedule doubles until it equals grid)")
         pooled = (1, 1, 1)
         pools = []
         while pooled != grid:

@@ -86,33 +86,172 @@ def _minplus_pass_windowed(fsq: jax.Array, axis: int, w: float,
     return jnp.transpose(out, inv_perm)
 
 
-@functools.partial(jax.jit, static_argnames=("sampling", "window"))
+def _binary_pass_scan(mask: jax.Array, axis: int, w: float) -> jax.Array:
+    """First separable pass directly from the BINARY mask in O(L log L)
+    fully-parallel work: fsq[i] = (w * distance to nearest zero along the
+    line)^2, via two cumulative-max scans of the last-seen-zero index
+    (no (i, j) broadcast at all — the preferred first pass at any L)."""
+    ndim = mask.ndim
+    perm = [a for a in range(ndim) if a != axis] + [axis]
+    inv_perm = np.argsort(perm)
+    x = jnp.transpose(mask != 0, perm)
+    L = x.shape[-1]
+    idx = jnp.arange(L, dtype=jnp.int32)
+    big = jnp.int32(2 * L)
+    # last zero at-or-before i / first zero at-or-after i
+    zero_at = jnp.where(x, jnp.int32(-1), idx)
+    left = jax.lax.cummax(zero_at, axis=ndim - 1)
+    zero_at_r = jnp.where(x, big, idx)
+    right = jax.lax.cummin(zero_at_r, axis=ndim - 1, reverse=True)
+    d = jnp.minimum(jnp.where(left < 0, big, idx - left),
+                    jnp.where(right >= big, big, right - idx))
+    fsq = jnp.where(x, (d.astype(jnp.float32) * np.float32(w)) ** 2,
+                    0.0)
+    fsq = jnp.where(fsq > _INF / 2, _INF, fsq)
+    # a line with no zero at all: distance saturates at _INF (matches the
+    # dense pass's 0/_INF init propagated through min-plus)
+    fsq = jnp.where(x & (left < 0) & (right >= big), _INF, fsq)
+    return jnp.transpose(fsq, inv_perm)
+
+
+_ENV_BIG = 1e9   # finite "infinity" for the envelope pass: large enough
+                 # to dominate any achievable d^2 (<= (L*w)^2), small
+                 # enough that f32 squares/divisions never overflow
+
+
+def _minplus_pass_envelope(fsq: jax.Array, axis: int, w: float
+                           ) -> jax.Array:
+    """Exact lower-envelope (Felzenszwalb-Huttenlocher) pass: O(L)
+    amortized work per line instead of the dense O(L^2) broadcast
+    (VERDICT r2 #6; the reference leans on scipy's C implementation,
+    ``watershed.py:39/90/145``).
+
+    The sequential hull build/query runs as ``lax.scan`` over line
+    positions with ALL lines advancing in lockstep (state (B,)/(B, L));
+    the amortized pop/advance loops are masked ``while_loop``s.  Work is
+    O(B) wide per step — VPU-friendly — but the 2L sequential steps make
+    this latency-bound on accelerators; it wins over the dense pass when
+    B*L^2 compute dwarfs ~2L small-kernel latencies (large L, many
+    lines).  Correctness does not depend on the trade-off; parity vs
+    scipy is tested at L=1024."""
+    ndim = fsq.ndim
+    perm = [a for a in range(ndim) if a != axis] + [axis]
+    inv_perm = np.argsort(perm)
+    x = jnp.transpose(fsq, perm)
+    batch_shape = x.shape[:-1]
+    L = x.shape[-1]
+    f = jnp.minimum(x.reshape(-1, L), _ENV_BIG)
+    B = f.shape[0]
+    w2 = np.float32(w * w)
+    rows = jnp.arange(B)
+    iota = jnp.arange(L, dtype=jnp.float32)
+    fq_plus = f + w2 * iota[None, :] ** 2          # f[q] + (w q)^2
+
+    def intersect(q, vk):
+        """Abscissa where parabola q overtakes parabola vk."""
+        num = jnp.take_along_axis(fq_plus, q[:, None], 1)[:, 0] - \
+            jnp.take_along_axis(fq_plus, vk[:, None], 1)[:, 0]
+        den = 2.0 * w2 * (q - vk).astype(jnp.float32)
+        return num / den
+
+    def build_step(carry, q):
+        k, v, z = carry
+        qv = jnp.full((B,), q, jnp.int32)
+
+        def pop_cond(state):
+            k, _ = state
+            vk = jnp.take_along_axis(v, k[:, None], 1)[:, 0]
+            zk = jnp.take_along_axis(z, k[:, None], 1)[:, 0]
+            s = intersect(qv, vk)
+            return jnp.any((k > 0) & (s <= zk))
+
+        def pop_body(state):
+            k, _ = state
+            vk = jnp.take_along_axis(v, k[:, None], 1)[:, 0]
+            zk = jnp.take_along_axis(z, k[:, None], 1)[:, 0]
+            s = intersect(qv, vk)
+            k = jnp.where((k > 0) & (s <= zk), k - 1, k)
+            return k, s
+
+        k, _ = jax.lax.while_loop(pop_cond, pop_body,
+                                  (k, jnp.zeros((B,), jnp.float32)))
+        vk = jnp.take_along_axis(v, k[:, None], 1)[:, 0]
+        s = intersect(qv, vk)
+        k = k + 1
+        v = v.at[rows, k].set(q)
+        z = z.at[rows, k].set(s)
+        return (k, v, z), None
+
+    k0 = jnp.zeros((B,), jnp.int32)
+    v0 = jnp.zeros((B, L), jnp.int32)
+    z0 = jnp.full((B, L), -jnp.inf, jnp.float32)
+    (k_top, v, z), _ = jax.lax.scan(build_step, (k0, v0, z0),
+                                    jnp.arange(1, L, dtype=jnp.int32))
+
+    def query_step(j, i):
+        def adv_cond(j):
+            znext = jnp.take_along_axis(
+                z, jnp.minimum(j + 1, L - 1)[:, None], 1)[:, 0]
+            return jnp.any((j < k_top) & (znext < i))
+
+        def adv_body(j):
+            znext = jnp.take_along_axis(
+                z, jnp.minimum(j + 1, L - 1)[:, None], 1)[:, 0]
+            return jnp.where((j < k_top) & (znext < i), j + 1, j)
+
+        j = jax.lax.while_loop(adv_cond, adv_body, j)
+        vj = jnp.take_along_axis(v, j[:, None], 1)[:, 0]
+        fv = jnp.take_along_axis(f, vj[:, None], 1)[:, 0]
+        out_i = w2 * (i - vj.astype(jnp.float32)) ** 2 + fv
+        return j, out_i
+
+    _, out_cols = jax.lax.scan(query_step, jnp.zeros((B,), jnp.int32),
+                               jnp.arange(L, dtype=jnp.float32))
+    out = out_cols.T.reshape(batch_shape + (L,))
+    out = jnp.where(out > _ENV_BIG / 2, _INF, out)
+    return jnp.transpose(out, inv_perm)
+
+
+@functools.partial(jax.jit, static_argnames=("sampling", "window",
+                                             "method"))
 def distance_transform_edt(mask: jax.Array,
                            sampling: Union[None, Tuple[float, ...]] = None,
-                           window: Optional[int] = None
-                           ) -> jax.Array:
+                           window: Optional[int] = None,
+                           method: str = "dense") -> jax.Array:
     """Exact EDT: distance from each nonzero voxel to the nearest zero voxel.
 
     ``sampling`` gives the physical spacing per axis
     (scipy.ndimage.distance_transform_edt semantics).
 
-    ``window``: optional per-axis search radius in VOXELS.  With a window,
-    each separable pass only inspects j within ``window`` of i — O(L*W)
-    work instead of O(L^2), the preferred form for zebrafish-scale lines
-    (xy >= 1024).  The result equals the exact EDT wherever the true
-    distance is below ``window * min(sampling)`` (e.g. inside cells whose
-    radius is bounded — the ``edt_prob`` training-GT case); beyond that
-    distances saturate.  ``None`` keeps the exact dense pass.
+    The first separable pass always runs straight off the binary mask via
+    cumulative index scans (O(L log L) parallel, no broadcast).
+    Subsequent general min-plus passes are selected by ``method``:
+
+    - ``"dense"``: O(L^2) broadcast per line — branch-free VPU math, the
+      fastest form at microscopy L <= ~512;
+    - ``"envelope"``: exact O(L) Felzenszwalb-Huttenlocher scan — the
+      asymptotically right form for very long lines (xy >= 1024).
+
+    ``window``: optional per-axis search radius in VOXELS, O(L*W) work;
+    exact wherever the true distance is below ``window * min(sampling)``
+    (e.g. inside bounded-radius cells — the ``edt_prob`` training-GT
+    case); beyond that distances saturate.  Overrides ``method``.
     """
     if sampling is None:
         sampling = (1.0,) * mask.ndim
     sampling = tuple(float(s) for s in sampling)
     if len(sampling) != mask.ndim:
         raise ValueError("sampling must have one entry per axis")
-    fsq = jnp.where(mask != 0, jnp.float32(_INF), jnp.float32(0.0))
+    if method not in ("dense", "envelope"):
+        raise ValueError(f"method {method!r}")
+    fsq = None
     for axis, w in enumerate(sampling):
-        if window is not None:
+        if fsq is None:
+            fsq = _binary_pass_scan(mask, axis, w)
+        elif window is not None:
             fsq = _minplus_pass_windowed(fsq, axis, w, window)
+        elif method == "envelope":
+            fsq = _minplus_pass_envelope(fsq, axis, w)
         else:
             fsq = _minplus_pass(fsq, axis, w)
     return jnp.sqrt(fsq)

@@ -45,7 +45,8 @@ class PrglsResult(NamedTuple):
     coefficients: jax.Array     # final C (3, n) motion basis weights
 
 
-@functools.partial(jax.jit, static_argnames=("max_iteration",))
+@functools.partial(jax.jit,
+                   static_argnames=("max_iteration", "m_step_refine"))
 def prgls_with_two_ref(init_match: jax.Array,
                        ptrs_tgt: jax.Array,
                        ptrs_ref: jax.Array,
@@ -57,7 +58,8 @@ def prgls_with_two_ref(init_match: jax.Array,
                        ref_mask: Optional[jax.Array] = None,
                        vol: float = 1.0,
                        convergence_epsilon: float = 1e-3,
-                       solve_floor: float = 1e-3) -> PrglsResult:
+                       solve_floor: float = 1e-3,
+                       m_step_refine: int = 0) -> PrglsResult:
     """``trackerlite.prgls_with_two_ref`` (:309-358): fit the motion field on
     (ptrs_ref -> ptrs_tgt) guided by ``init_match`` and apply it to the
     confirmed set ``tracked_ref`` via the cross Gram matrix.
@@ -81,6 +83,26 @@ def prgls_with_two_ref(init_match: jax.Array,
     voxel while restoring the reference's ~13-iteration convergence.  A
     stagnation stop (``stall_limit`` iterations without the movement norm
     improving below 99% of its best) remains as a safety net.
+
+    ``m_step_refine > 0`` (EXPERIMENTAL — measured worse end-to-end, see
+    below) switches the M-step to preconditioned iterative refinement:
+    LU-factor a mildly floored system (floor 1e-4, cond <= ~1e5,
+    f32-solvable), then run ``m_step_refine`` correction steps against
+    the TRUE (unfloored) system with double-single compensated residuals
+    (:mod:`ops.df32`).  Each individual solve then matches float64 to
+    ~1e-6 (tests/test_df32.py).
+
+    Round-3 measurement (BASELINE.md "f32 EM accuracy bound"): this does
+    NOT close the f32-vs-f64 trajectory gap — it widens it.  Solving the
+    true cond-1e6..1e7 system ACCURATELY amplifies the f32 E-step's own
+    rounding noise (relative ~6e-8) by the condition number into O(1)
+    coefficient errors; the reference survives only because float64
+    noise is 2^-52.  On the reference-code parity harness the unfloored
+    refined EM diverges outright (GT assignment agreement 0.27 vs 1.0).
+    At f32 the solve floor is REQUIRED regularization, not a precision
+    workaround; the residual ~1-unit coordinate deviation vs the f64
+    reference is noise-floor-irreducible without carrying the entire EM
+    (posterior included) in double-single arithmetic.
     """
     m, n = init_match.shape
     if tgt_mask is None:
@@ -122,11 +144,26 @@ def prgls_with_two_ref(init_match: jax.Array,
 
     def m_step(post, pred_ref, sigma_sq):
         p1 = jnp.sum(post, axis=0)                       # (n,)
-        s_eff = jnp.maximum(lambda_ * sigma_sq, solve_floor)
-        coeff = gram_nn * p1[None, :] + s_eff * eye
+        s_true = lambda_ * sigma_sq
         dep = ptrs_tgt.T @ post - pred_ref.T * p1[None, :]   # (3, n)
-        c = jnp.linalg.solve(coeff.T, dep.T).T            # (3, n)
-        return c
+        if m_step_refine == 0:
+            s_eff = jnp.maximum(s_true, solve_floor)
+            coeff = gram_nn * p1[None, :] + s_eff * eye
+            return jnp.linalg.solve(coeff.T, dep.T).T     # (3, n)
+        from jax.scipy.linalg import lu_factor, lu_solve
+        from .df32 import compensated_residual
+        s_eff = jnp.maximum(s_true, 1e-4)                # preconditioner
+        coeff = gram_nn * p1[None, :] + s_eff * eye
+        a_true = gram_nn * p1[None, :] + s_true * eye
+        lu_piv = lu_factor(coeff.T)
+        x = lu_solve(lu_piv, dep.T)                      # (n, 3)
+
+        def refine(_, x):
+            r = compensated_residual(dep.T, a_true.T, x)
+            return x + lu_solve(lu_piv, r)
+
+        x = jax.lax.fori_loop(0, m_step_refine, refine, x)
+        return x.T
 
     stall_limit = 30.0
 
@@ -180,7 +217,8 @@ def prgls_with_two_ref(init_match: jax.Array,
     return PrglsResult(pred_tracked, pred_ref, post, it, c_final)
 
 
-@functools.partial(jax.jit, static_argnames=("max_iteration",))
+@functools.partial(jax.jit,
+                   static_argnames=("max_iteration", "m_step_refine"))
 def prgls_quick(init_match: jax.Array,
                 ptrs_tgt: jax.Array,
                 tracked_ref: jax.Array,
@@ -190,14 +228,16 @@ def prgls_quick(init_match: jax.Array,
                 tgt_mask: Optional[jax.Array] = None,
                 ref_mask: Optional[jax.Array] = None,
                 vol: float = 1.0,
-                solve_floor: float = 1e-3) -> PrglsResult:
+                solve_floor: float = 1e-3,
+                m_step_refine: int = 0) -> PrglsResult:
     """``trackerlite.prgls_quick`` (:262-306): the single-reference variant —
     the motion field is both fit on and applied to ``tracked_ref``."""
     return prgls_with_two_ref(init_match, ptrs_tgt, tracked_ref, tracked_ref,
                               beta=beta, lambda_=lambda_,
                               max_iteration=max_iteration,
                               tgt_mask=tgt_mask, ref_mask=ref_mask, vol=vol,
-                              solve_floor=solve_floor)
+                              solve_floor=solve_floor,
+                              m_step_refine=m_step_refine)
 
 
 class LegacyPrglsResult(NamedTuple):

@@ -23,7 +23,8 @@ from ..ops.trim import trim_mean
 
 
 @functools.partial(jax.jit, static_argnames=("k_points", "max_iteration",
-                                             "trim_proportion"))
+                                             "trim_proportion",
+                                             "m_step_refine"))
 def ensemble_track_step(ffn_params, ffn_state,
                         confirmed_stack: jax.Array,     # (E, L, 3)
                         seg_t1_stack: jax.Array,        # (E, M, 3)
@@ -32,12 +33,14 @@ def ensemble_track_step(ffn_params, ffn_state,
                         seg_t2_mask: jax.Array,         # (M,)
                         beta: float = 3.0, lambda_: float = 3.0,
                         k_points: int = 20, max_iteration: int = 2000,
-                        trim_proportion: float = 0.1) -> jax.Array:
+                        trim_proportion: float = 0.1,
+                        m_step_refine: int = 0) -> jax.Array:
     """All ensemble members at once; returns trim-mean combined (L, 3)."""
     def member(confirmed, seg1, mask1):
         return track_step(ffn_params, ffn_state, confirmed, seg1, mask1,
                           seg_t2, seg_t2_mask, beta=beta, lambda_=lambda_,
-                          k_points=k_points, max_iteration=max_iteration)
+                          k_points=k_points, max_iteration=max_iteration,
+                          m_step_refine=m_step_refine)
 
     preds = jax.vmap(member)(confirmed_stack, seg_t1_stack, seg_t1_masks)
     return trim_mean(preds, trim_proportion, axis=0)

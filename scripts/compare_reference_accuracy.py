@@ -111,14 +111,16 @@ def reference_recurrence(results: Path, confirmed_vol1_real, ffn_tf):
     return coords
 
 
-def our_recurrence(results: Path, confirmed_vol1_real, ffn_weights):
+def our_recurrence(results: Path, confirmed_vol1_real, ffn_weights,
+                   m_step_refine: int = 0):
     from t3dct.coordinates import Coordinates
     from t3dct.engine.tracker import TrackerLite
 
     coord1 = Coordinates.from_real(np.asarray(confirmed_vol1_real,
                                               np.float32),
                                    INTERP, VOXEL_SIZE)
-    tracker = TrackerLite(results, ffn_weights, coord1)
+    tracker = TrackerLite(results, ffn_weights, coord1,
+                          m_step_refine=m_step_refine)
     coords = {1: np.asarray(coord1.real)}
     conf = coord1
     for t2 in range(2, T_VOLS + 1):
@@ -158,9 +160,12 @@ def main():
     ffn_tf(np.zeros((1, 122), np.float32))   # build the lazy inner layers
     copy_weights_to_tf(ffn_tf, trainer.params, trainer.bn_state)
 
+    import os
+    m_step_refine = int(os.environ.get("T3DCT_M_STEP_REFINE", "0"))
     confirmed1 = cloud
     ours = our_recurrence(results, confirmed1,
-                          (trainer.params, trainer.bn_state))
+                          (trainer.params, trainer.bn_state),
+                          m_step_refine=m_step_refine)
     refs = reference_recurrence(results, confirmed1, ffn_tf)
 
     # ---- compare ---------------------------------------------------------

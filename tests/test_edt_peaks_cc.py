@@ -146,3 +146,42 @@ def test_edt_prob_windowed_matches_dense():
     win = np.asarray(edt_prob(jnp.asarray(lab), max_labels=4,
                               anisotropy=(2.0, 1.0, 1.0), window=12))
     np.testing.assert_allclose(win, dense, rtol=1e-5, atol=1e-5)
+
+
+@pytest.mark.parametrize("shape,sampling,seed", [
+    ((30, 30), (1.0, 1.0), 4),
+    ((24, 18, 9), (1.0, 1.0, 9.2), 5),
+    ((64, 40), (2.0, 1.0), 6),
+])
+def test_edt_envelope_matches_scipy(shape, sampling, seed):
+    """Exact O(L) lower-envelope pass (VERDICT r2 #6) vs scipy."""
+    mask = _random_mask(shape, 0.7, seed)
+    got = np.asarray(distance_transform_edt(mask, sampling,
+                                            method="envelope"))
+    want = ndi.distance_transform_edt(mask, sampling=sampling)
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-4)
+
+
+@pytest.mark.slow
+def test_edt_envelope_matches_scipy_1024():
+    """Parity at zebrafish line length (xy = 1024), sparse background —
+    long propagation distances exercise the envelope numerics."""
+    rng = np.random.RandomState(9)
+    mask = np.ones((1024, 1024), bool)
+    ij = rng.randint(0, 1024, size=(60, 2))
+    mask[ij[:, 0], ij[:, 1]] = False
+    got = np.asarray(distance_transform_edt(mask, (1.0, 1.0),
+                                            method="envelope"))
+    want = ndi.distance_transform_edt(mask, sampling=(1.0, 1.0))
+    np.testing.assert_allclose(got, want, rtol=1e-3, atol=1e-2)
+
+
+def test_edt_envelope_all_foreground_line():
+    """Lines with no background voxel stay saturated, no NaN."""
+    mask = np.ones((6, 12), bool)
+    mask[0, 3] = False          # one line has background, others none
+    got = np.asarray(distance_transform_edt(mask, (1.0, 1.0),
+                                            method="envelope"))
+    assert not np.any(np.isnan(got))
+    want = ndi.distance_transform_edt(mask, sampling=(1.0, 1.0))
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-4)
