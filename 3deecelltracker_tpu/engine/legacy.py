@@ -52,6 +52,141 @@ REP_NUM_CORRECTION = 20    # tracker.py:46
 BOUNDARY_XY = 6            # tracker.py:47
 K_POINTS = 20
 
+import functools
+
+
+@functools.partial(jax.jit, static_argnames=("rep", "max_iteration",
+                                             "k_points"))
+def legacy_fit_and_predict(ffn_params, ffn_state,
+                           inter0: jax.Array, inter_mask: jax.Array,
+                           tgt: jax.Array, tgt_mask: jax.Array,
+                           tracked0: jax.Array,
+                           beta0: float, lambda_: float,
+                           rep: int = REP_NUM_PRGLS,
+                           max_iteration: int = 20,
+                           k_points: int = K_POINTS):
+    """The legacy per-source prediction — ``rep`` x (FFN matching + v0.4
+    PR-GLS fit) interleaved with the motion replay
+    (``tracker.py:1224-1289``) — as ONE device program over PADDED point
+    sets.
+
+    The reference (and the host-loop methods below) dispatches ~8 device
+    calls and ~3 fetches per rep; through a remote TPU link each RPC
+    costs ~50-100 ms, so a 5-rep fit pays ~2-4 s of pure latency per
+    source volume.  Fused + padded (one static shape -> one compile for
+    the whole recording), the same work is one dispatch.
+
+    Returns (pred (n_t0, 3), inters (rep, M, 3), Cs (rep, 3, M)) — the
+    stacks replay the per-rep frames for diagnostics/draw.
+    """
+    ffn_state = jax.tree_util.tree_map(jnp.asarray, ffn_state)
+    feats_t = knn_feature_vectors(tgt, tgt_mask, k_points)
+    inter = inter0
+    pred = tracked0.astype(jnp.float32)
+    inters, cs = [], []
+    for i in range(rep):
+        beta_i = beta0 * (0.8 ** i)
+        feats_r = knn_feature_vectors(inter, inter_mask, k_points)
+        corr = ffn_pair_scores(ffn_params, ffn_state, feats_r, feats_t)
+        res = pr_gls_quick(inter, tgt, corr, beta=beta_i,
+                           max_iteration=max_iteration, lambda_=lambda_,
+                           ref_mask=inter_mask, tgt_mask=tgt_mask)
+        gram = gaussian_gram(pred, inter, beta_i ** 2)
+        gram = jnp.where(inter_mask[None, :], gram, 0.0)
+        inters.append(inter)
+        cs.append(res.coefficients)
+        pred = pred + gram @ res.coefficients.T
+        inter = res.moved_ref
+    return pred, jnp.stack(inters), jnp.stack(cs)
+
+
+@functools.partial(jax.jit, static_argnames=(
+    "rep", "max_iteration", "k_points", "trim_proportion"))
+def legacy_fit_and_predict_ensemble(ffn_params, ffn_state,
+                                    inter0_stack, inter_masks,
+                                    tgt, tgt_mask, tracked0_stack,
+                                    beta0: float, lambda_: float,
+                                    rep: int = REP_NUM_PRGLS,
+                                    max_iteration: int = 20,
+                                    k_points: int = K_POINTS,
+                                    trim_proportion: float = 0.1):
+    """All ensemble source volumes in one dispatch (vmapped members +
+    on-device trimmed mean, ``tracker.py:1502-1507``)."""
+    def member(inter0, mask, tracked0):
+        pred, _, _ = legacy_fit_and_predict(
+            ffn_params, ffn_state, inter0, mask, tgt, tgt_mask, tracked0,
+            beta0, lambda_, rep=rep, max_iteration=max_iteration,
+            k_points=k_points)
+        return pred
+
+    preds = jax.vmap(member)(inter0_stack, inter_masks, tracked0_stack)
+    return trim_mean(preds, trim_proportion, axis=0)
+
+
+@functools.partial(jax.jit, static_argnames=(
+    "max_repetition", "overlap_mode", "out_of_range", "render"))
+def legacy_correction_and_render(atlas, weights: jax.Array,
+                                 i_disp0: jax.Array, include: jax.Array,
+                                 tracked_t0_real: jax.Array,
+                                 z_xy_ratio: float, z_scaling: float,
+                                 max_repetition: int = REP_NUM_CORRECTION,
+                                 overlap_mode: str = "add",
+                                 out_of_range: str = "clip",
+                                 render: bool = True):
+    """The legacy accurate-correction fixed point
+    (``tracker.py:1177-1191, 1310-1348``) plus the final
+    ``_transform_motion_to_image`` (:1391-1400) as ONE device program:
+    <=20 x (paste + weighted center-of-mass + rint) in a
+    ``lax.while_loop``, then the label render + boundary recalculation.
+
+    Returns (r_disp (n, 3), i_disp (n, 3) int32, tracked_labels) —
+    labels only when ``render`` (int32 (x, y, z))."""
+    n_t0 = atlas.n_cells
+    zr = jnp.float32(z_xy_ratio)
+    zs = jnp.float32(z_scaling)
+    to_layer = jnp.stack([jnp.float32(1), jnp.float32(1), 1.0 / zr])
+    to_interp = jnp.stack([jnp.float32(1), jnp.float32(1), zs / zr])
+
+    def once(i_disp):
+        labels, overlap = move_cells_sampled(
+            atlas, i_disp, include, overlap_mode=overlap_mode,
+            out_of_range=out_of_range)
+        markers = jnp.where(overlap > 1, 0, labels)
+        centers = center_of_mass(weights, markers, n_t0)
+        l_moved = tracked_t0_real * to_layer + \
+            i_disp.astype(jnp.float32) * jnp.stack(
+                [jnp.float32(1), jnp.float32(1), 1.0 / zs])
+        lost = jnp.isnan(centers[:, 0])
+        corr = jnp.where(lost[:, None], 0.0, centers - l_moved)
+        corr = corr * jnp.stack([jnp.float32(1), jnp.float32(1), zr])
+        r_disp = i_disp.astype(jnp.float32) * jnp.stack(
+            [jnp.float32(1), jnp.float32(1), zr / zs]) + corr
+        i_new = jnp.rint(r_disp * to_interp).astype(jnp.int32)
+        metric = jnp.max(jnp.abs(corr * to_interp))
+        return r_disp, i_new, metric
+
+    def body(carry):
+        i_disp, _, it, _ = carry
+        r_disp, i_new, metric = once(i_disp)
+        return i_new, r_disp, it + 1, metric
+
+    def cond(carry):
+        _, _, it, metric = carry
+        return (it < max_repetition) & (metric >= 0.5)
+
+    i_disp, r_disp, _, _ = jax.lax.while_loop(
+        cond, body, (i_disp0.astype(jnp.int32),
+                     jnp.zeros_like(tracked_t0_real, jnp.float32),
+                     jnp.int32(0), jnp.float32(jnp.inf)))
+    if not render:
+        return r_disp, i_disp, None
+    labels, overlap = move_cells_sampled(
+        atlas, i_disp, include, overlap_mode=overlap_mode,
+        out_of_range=out_of_range)
+    labels = jnp.where(overlap > 1, 0, labels)
+    tracked = recalculate_cell_boundaries(labels, overlap)
+    return r_disp, i_disp, tracked
+
 
 def get_tracking_path(adjacent: bool, ensemble, folder_path: str) -> str:
     """tracker.py:90-110."""
@@ -467,26 +602,59 @@ class Tracker:
                                         beta ** 2))          # (n_t0, n_auto)
         return pred + gram @ C.T
 
+    def _pad_pts(self, pts: np.ndarray):
+        """Pad to the static ``max_cells`` shape (parked far) + mask, so
+        the fused legacy programs compile once per recording."""
+        n = pts.shape[0]
+        if n > self.max_cells:
+            raise ValueError(f"{n} cells exceeds max_cells="
+                             f"{self.max_cells}")
+        out = np.full((self.max_cells, 3), 1e6, np.float32)
+        out[:n] = pts
+        mask = np.zeros((self.max_cells,), bool)
+        mask[:n] = True
+        return out, mask
+
+    def _fused_predict_inputs(self, source_volume: int):
+        inter0, m1 = self._pad_pts(np.asarray(
+            self.history.r_segmented_coordinates[source_volume - 1],
+            np.float32))
+        tracked0 = np.asarray(
+            self.history.r_tracked_coordinates[source_volume - 1],
+            np.float32)
+        return inter0, m1, tracked0
+
     def _predict_pos_once(self, source_volume: int, draw: bool = False):
-        C_t, BETA_t, inter_list = self._fit_ffn_prgls(
-            REP_NUM_PRGLS,
-            self.history.r_segmented_coordinates[source_volume - 1])
-        pred = self.history.r_tracked_coordinates[source_volume - 1].copy()
+        """One fused device dispatch (``legacy_fit_and_predict``) instead
+        of the reference's ~8 calls + 3 fetches per rep
+        (tracker.py:1193-1289); the host-loop building blocks above stay
+        for step-by-step/notebook use."""
+        inter0, m1, tracked0 = self._fused_predict_inputs(source_volume)
+        tgt, m2 = self._pad_pts(np.asarray(
+            self.segresult.r_coordinates_segment, np.float32))
+        pred_dev, inters_dev, cs_dev = legacy_fit_and_predict(
+            self.ffn_params, self.ffn_state, inter0, m1, tgt, m2,
+            tracked0, self.beta_tk, self.lambda_tk,
+            rep=REP_NUM_PRGLS, max_iteration=self.max_iteration)
+        if not draw:
+            return np.asarray(jax.device_get(pred_dev), np.float64), None
+        pred, inters, cs = jax.device_get((pred_dev, inters_dev, cs_dev))
         frames = []
-        for C, beta, inter in zip(C_t, BETA_t, inter_list):
-            pre = pred
-            pred = self._predict_one_rep(pred, inter, beta, C)
-            if draw:
-                frames.append((pre, pred))
+        p = tracked0.astype(np.float64)
+        for i in range(REP_NUM_PRGLS):
+            beta_i = self.beta_tk * (0.8 ** i)
+            pre = p
+            p = self._predict_one_rep(p, inters[i][m1], beta_i,
+                                      cs[i][:, m1])
+            frames.append((pre, p))
         anim = None
-        if draw:
-            try:
-                from ..viz import ffn_prgls_animation
-                anim = ffn_prgls_animation(
-                    frames, self.segresult.r_coordinates_segment)
-            except Exception as e:
-                print(f"animation skipped: {e}")
-        return pred, anim
+        try:
+            from ..viz import ffn_prgls_animation
+            anim = ffn_prgls_animation(
+                frames, self.segresult.r_coordinates_segment)
+        except Exception as e:
+            print(f"animation skipped: {e}")
+        return np.asarray(pred, np.float64), anim
 
     def _get_cells_onBoundary(self, r_coords, ensemble):
         """tracker.py:1291-1308."""
@@ -591,12 +759,26 @@ class Tracker:
             raise ValueError("target_volume is a miss_frame")
         self.segresult = segresult if segresult is not None else \
             self._segment(target_volume, method)
-        r_coor_predicted, anim = self._predict_pos_once(source_volume=1)
+        r_coor_predicted, anim = self._predict_pos_once(source_volume=1,
+                                                        draw=True)
         cells_bd = self._get_cells_onBoundary(r_coor_predicted,
                                               self.ensemble)
         local = self.cells_on_boundary.copy()
         local[cells_bd] = 1
-        _, i_disp = self._accurate_correction(local, r_coor_predicted)
+        r_disp0 = self.history.r_displacements[-1] + (
+            r_coor_predicted - self.history.r_tracked_coordinates[-1])
+        i_disp0 = np.rint(r_disp0 * np.array(
+            [1, 1, self.z_scaling / self.z_xy_ratio])).astype(np.int32)
+        weights = np.asarray(
+            self.segresult.image_cell_bg + self.segresult.image_gcn,
+            np.float32)
+        _, i_disp_dev, _ = legacy_correction_and_render(
+            self.atlas, weights, i_disp0, (local == 0),
+            np.asarray(self.r_coordinates_tracked_t0, np.float32),
+            self.z_xy_ratio, self.z_scaling,
+            max_repetition=REP_NUM_CORRECTION, render=False,
+            **self._paste_kwargs)
+        i_disp = np.asarray(jax.device_get(i_disp_dev))
         print(f"Matching between vol 1 and vol {target_volume} was "
               "computed")
         return anim, [local, target_volume, i_disp, r_coor_predicted]
@@ -635,21 +817,50 @@ class Tracker:
             self._segment(target_volume, method)
         source_vols = get_reference_vols(self.ensemble, target_volume,
                                          adjacent=self.adjacent)
-        predictions = []
-        for source_vol in source_vols:
-            pred, _ = self._predict_pos_once(source_volume=source_vol)
-            predictions.append(pred)
-        r_coor_mean = np.asarray(trim_mean(
-            jnp.asarray(np.stack(predictions)), 0.1, axis=0)) \
-            if len(predictions) > 1 else predictions[0]
+        tgt, m2 = self._pad_pts(np.asarray(
+            self.segresult.r_coordinates_segment, np.float32))
+        if len(source_vols) == 1:
+            inter0, m1, tracked0 = self._fused_predict_inputs(
+                source_vols[0])
+            pred_dev, _, _ = legacy_fit_and_predict(
+                self.ffn_params, self.ffn_state, inter0, m1, tgt, m2,
+                tracked0, self.beta_tk, self.lambda_tk,
+                rep=REP_NUM_PRGLS, max_iteration=self.max_iteration)
+        else:
+            # whole ensemble in one dispatch (vmapped members + device
+            # trimmed mean)
+            ins = [self._fused_predict_inputs(sv) for sv in source_vols]
+            pred_dev = legacy_fit_and_predict_ensemble(
+                self.ffn_params, self.ffn_state,
+                np.stack([a for a, _, _ in ins]),
+                np.stack([m for _, m, _ in ins]),
+                tgt, m2, np.stack([t for _, _, t in ins]),
+                self.beta_tk, self.lambda_tk, rep=REP_NUM_PRGLS,
+                max_iteration=self.max_iteration)
+        r_coor_mean = np.asarray(jax.device_get(pred_dev), np.float64)
 
         cells_bd = self._get_cells_onBoundary(r_coor_mean, self.ensemble)
         self.cells_on_boundary[cells_bd] = 1
 
-        r_disp, i_disp = self._accurate_correction(self.cells_on_boundary,
-                                                   r_coor_mean)
-        self.tracked_labels = self._transform_motion_to_image(
-            self.cells_on_boundary, i_disp)
+        # fused correction + render: one dispatch + one fetch replace the
+        # <=20 x (paste + center-of-mass) round trips of tracker.py:1177
+        r_disp0 = self.history.r_displacements[-1] + (
+            r_coor_mean - self.history.r_tracked_coordinates[-1])
+        i_disp0 = np.rint(r_disp0 * np.array(
+            [1, 1, self.z_scaling / self.z_xy_ratio])).astype(np.int32)
+        weights = np.asarray(
+            self.segresult.image_cell_bg + self.segresult.image_gcn,
+            np.float32)
+        include = (self.cells_on_boundary == 0)
+        r_disp_dev, i_disp_dev, labels_dev = legacy_correction_and_render(
+            self.atlas, weights, i_disp0, include,
+            np.asarray(self.r_coordinates_tracked_t0, np.float32),
+            self.z_xy_ratio, self.z_scaling,
+            max_repetition=REP_NUM_CORRECTION, **self._paste_kwargs)
+        r_disp, i_disp, labels = jax.device_get(
+            (r_disp_dev, i_disp_dev, labels_dev))
+        r_disp = np.asarray(r_disp, np.float64)
+        self.tracked_labels = np.asarray(labels)
         save_label_slices(self.tracked_labels, self.paths.track_results,
                           "track_results_t%06i_z%04i.tif", target_volume,
                           self.use_8_bit)

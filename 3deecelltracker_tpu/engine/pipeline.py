@@ -98,6 +98,17 @@ def fused_track_and_correct(ffn_params, ffn_state,
         jnp.uint8 if labels_u8 else jnp.uint16)
 
 
+@functools.lru_cache(maxsize=8)
+def _sharded_members_cache(mesh, beta, lambda_, k_points, max_iteration,
+                           m_step_refine):
+    """One jitted sharded member fan-out per (mesh, statics) — a fresh
+    jit object per volume would retrace every call."""
+    from ..parallel.ensemble import make_sharded_ensemble_members
+    return make_sharded_ensemble_members(
+        mesh, beta=beta, lambda_=lambda_, k_points=k_points,
+        max_iteration=max_iteration, m_step_refine=m_step_refine)
+
+
 def track_timelapse(results_dir: Union[str, Path],
                     manual_vol1_glob: str,
                     ffn_weights,
@@ -111,12 +122,19 @@ def track_timelapse(results_dir: Union[str, Path],
                     save_figures: bool = False,
                     verbose: bool = True,
                     timer=None,
+                    mesh=None,
                     ) -> Dict[int, np.ndarray]:
     """Track all volumes; returns {t: real coordinates}.
 
     Requires ``seg/coords*.npy`` + ``seg/prob*.npy`` to exist (run
     ``engine.stardist.predict_and_save`` first) and the proofed vol-1 labels
     at ``manual_vol1_glob``.
+
+    ``mesh``: optional ``jax.sharding.Mesh`` — in ensemble mode the member
+    fan-out is sharded over its ``"data"`` axis (members padded to an
+    axis multiple; the exact trimmed mean runs over the real members
+    after the XLA all-gather).  Single mode ignores it (the recurrence is
+    serial; scale-out there is over tiles/volumes, see parallel/).
     """
     from ..utils.profiling import StageTimer
     if timer is None:
@@ -140,40 +158,69 @@ def track_timelapse(results_dir: Union[str, Path],
 
     import jax
 
-    n_savers = 3        # overlap the per-volume d2h RPC latency + codecs
-    save_q: "queue.Queue" = queue.Queue(maxsize=2 + n_savers)
+    n_writers = 2       # codecs (TIFF/npy/figures) on their own threads
+    fetch_batch = 3     # volumes per d2h RPC (the ~100 ms round-trip
+                        # through a remote link amortizes across them)
+    save_q: "queue.Queue" = queue.Queue(maxsize=2 + fetch_batch)
+    write_q: "queue.Queue" = queue.Queue(maxsize=2 * fetch_batch)
     errors: List[Exception] = []
     # pyplot's figure-manager state is global and NOT thread-safe;
     # concurrent savers must serialize all figure work
     mpl_lock = threading.Lock()
 
-    def saver():
-        while True:
+    def fetcher():
+        """Drain the queue greedily and fetch SEVERAL volumes' labels +
+        coords in ONE device_get (round 2 paid one RPC per volume —
+        ~15-20 ms/vol of pure link latency at the measured wall)."""
+        done = False
+        while not done:
             item = save_q.get()
             if item is None:
-                return
-            t2, corrected, labels_dev, coords_t1_real_dev = item
+                break
+            batch = [item]
+            while len(batch) < fetch_batch:
+                try:
+                    nxt = save_q.get_nowait()
+                except queue.Empty:
+                    break
+                if nxt is None:
+                    done = True
+                    break
+                batch.append(nxt)
             try:
-                # one d2h RPC for labels + coords together
-                labels_np, real_np = jax.device_get((labels_dev,
-                                                     corrected.real))
-                transformer.save_tracking_results(np.asarray(real_np),
-                                                  labels_np, t2,
+                payload = jax.device_get(
+                    [(it[2], it[1].real, it[3]) for it in batch])
+                for (t2, corrected, _, _), (labels_np, real_np, t1_real) \
+                        in zip(batch, payload):
+                    write_q.put((t2, np.asarray(real_np), labels_np,
+                                 np.asarray(t1_real)))
+            except Exception as e:
+                errors.append(e)
+        for _ in range(n_writers):
+            write_q.put(None)
+
+    def writer():
+        while True:
+            item = write_q.get()
+            if item is None:
+                return
+            t2, real_np, labels_np, t1_real = item
+            try:
+                transformer.save_tracking_results(real_np, labels_np, t2,
                                                   images_path=images_path)
                 if save_figures:
                     from ..viz import save_matching_figure
                     seg_t2 = tracker._get_segmented_pos(t2)
                     with mpl_lock:
                         save_matching_figure(
-                            transformer.tree,
-                            np.asarray(jax.device_get(coords_t1_real_dev)),
-                            np.asarray(seg_t2.real),
-                            np.asarray(corrected.real), t2 - 1, t2)
+                            transformer.tree, t1_real,
+                            np.asarray(seg_t2.real), real_np, t2 - 1, t2)
             except Exception as e:
                 errors.append(e)
 
-    saver_threads = [threading.Thread(target=saver, daemon=True)
-                     for _ in range(n_savers)]
+    saver_threads = [threading.Thread(target=fetcher, daemon=True)]
+    saver_threads += [threading.Thread(target=writer, daemon=True)
+                      for _ in range(n_writers)]
     for th in saver_threads:
         th.start()
 
@@ -232,25 +279,47 @@ def track_timelapse(results_dir: Union[str, Path],
                 # device fan-out over reference volumes with in-memory
                 # confirmed coordinates (the disk-reading reference variant
                 # would race with the async writer)
-                from ..parallel.ensemble import ensemble_track_step
+                from ..parallel.ensemble import (ensemble_track_step,
+                                                 make_sharded_ensemble_members,
+                                                 pad_members)
+                from ..ops.trim import trim_mean
                 t1s = get_volumes_list(t2, tracker.miss_frame,
                                        config.sampling_number,
                                        config.adjacent, t_min)
-                confirmed_stack = jnp.stack([
-                    (transformer.coord_vol1 if t1 == t_min
-                     else corrected_by_t[t1]).real for t1 in t1s])
+                confirmed_list = [
+                    np.asarray((transformer.coord_vol1 if t1 == t_min
+                                else corrected_by_t[t1]).real)
+                    for t1 in t1s]
                 seg1s, mask1s = zip(*[
-                    tracker._pad(np.asarray(
+                    tracker._pad_np(np.asarray(
                         tracker._get_segmented_pos(t1).real))
                     for t1 in t1s])
                 seg2, mask2 = tracker._pad(np.asarray(
                     tracker._get_segmented_pos(t2).real))
-                combined = ensemble_track_step(
-                    tracker.ffn_params, tracker.ffn_state,
-                    confirmed_stack, jnp.stack(seg1s), jnp.stack(mask1s),
-                    seg2, mask2, beta=config.beta, lambda_=config.lambda_,
-                    trim_proportion=config.trim_proportion,
-                    m_step_refine=config.m_step_refine)
+                if mesh is not None:
+                    axis = int(mesh.shape["data"])
+                    conf_p, n_real = pad_members(confirmed_list, axis)
+                    seg1_p, _ = pad_members(list(seg1s), axis)
+                    mask1_p, _ = pad_members(list(mask1s), axis)
+                    sharded = _sharded_members_cache(
+                        mesh, config.beta, config.lambda_,
+                        config.k_neighbors, config.max_iteration,
+                        config.m_step_refine)
+                    preds = sharded(
+                        tracker.ffn_params, tracker.ffn_state,
+                        jnp.asarray(conf_p), jnp.asarray(seg1_p),
+                        jnp.asarray(mask1_p), seg2, mask2)
+                    combined = trim_mean(preds[:n_real],
+                                         config.trim_proportion, axis=0)
+                else:
+                    combined = ensemble_track_step(
+                        tracker.ffn_params, tracker.ffn_state,
+                        jnp.stack(confirmed_list), jnp.stack(seg1s),
+                        jnp.stack(mask1s),
+                        seg2, mask2, beta=config.beta,
+                        lambda_=config.lambda_,
+                        trim_proportion=config.trim_proportion,
+                        m_step_refine=config.m_step_refine)
                 pred = Coordinates.from_real(
                     combined, transformer.interpolation_factor,
                     transformer.voxel_size)
@@ -297,8 +366,7 @@ def track_timelapse(results_dir: Union[str, Path],
             if verbose:
                 print(f"tracked t={t2}/{t_max}", end="\r")
     finally:
-        for _ in saver_threads:
-            save_q.put(None)
+        save_q.put(None)          # fetcher forwards the stop to writers
         for th in saver_threads:
             th.join()
     if errors:

@@ -644,10 +644,18 @@ def load_stardist_keras_dir(model_dir: Union[str, Path]) -> StarDist3D:
 def predict_and_save(images_path, model: StarDist3D,
                      results_folder: Union[str, Path],
                      prefetch_depth: int = 2,
-                     batch_size: int = 4) -> None:
+                     batch_size: int = 4,
+                     volumes=None) -> None:
     """Segment every volume and persist seg/ artifacts
     (``stardistwrapper.predict_and_save`` :75-111): coords saved (y, x, z)
     -> the pipeline's (x, y, z) frame, prob_map transposed to (x, y, z).
+
+    ``volumes``: optional explicit list of time points to segment — the
+    multi-host work-sharding hook (each host passes
+    ``parallel.multihost.local_shard(range(t_min, t_max + 1))`` and all
+    hosts write disjoint artifacts into one shared results tree; the
+    host whose shard contains the recording's first volume also renders
+    the ``auto_vol1`` labels).  Default: every volume in the recording.
 
     Pipelined: input volumes prefetch on one thread (raw dtype, with the
     1/99.8 normalization percentiles computed there too — normalization
@@ -667,6 +675,8 @@ def predict_and_save(images_path, model: StarDist3D,
     tree = ResultsTree(results_folder)
     tree.make_dirs()
     t_max, t_min = get_t_range(images_path)
+    work = list(volumes) if volumes is not None else \
+        list(range(t_min, t_max + 1))
 
     def _load_raw(t):
         x = load_2d_slices_at_time(images_path, t=t, do_normalize=False)
@@ -680,7 +690,7 @@ def predict_and_save(images_path, model: StarDist3D,
     # RPC whose ~100 ms is link LATENCY, not bandwidth or CPU — paired
     # threads overlap those waits (ThreadPoolExecutor releases the GIL in
     # the transfer calls), halving the steady-state wall per volume
-    loader = VolumePrefetcher(_load_raw, range(t_min, t_max + 1),
+    loader = VolumePrefetcher(_load_raw, work,
                               depth=prefetch_depth, workers=2)
 
     n_savers = 2
@@ -720,7 +730,7 @@ def predict_and_save(images_path, model: StarDist3D,
                      for _ in range(n_savers)]
     for th in saver_threads:
         th.start()
-    done_t = t_min - 1
+    done_t = work[0] - 1
     group: list = []
 
     def flush_group():
@@ -770,7 +780,7 @@ def predict_and_save(images_path, model: StarDist3D,
             th.join()
     if errors:
         raise errors[0]
-    print(f"All images from t={t_min} to t={done_t} have been segmented")
+    print(f"All images from t={work[0]} to t={done_t} have been segmented")
 
 
 def fill_label_holes(lbl: np.ndarray) -> np.ndarray:

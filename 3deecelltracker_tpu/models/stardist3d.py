@@ -20,6 +20,7 @@ from typing import Any, Dict, Tuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from ..config import StarDistConfig
 from . import layers as L
@@ -45,6 +46,13 @@ class StarDist3DNet:
     """
     config: StarDistConfig
     arch: str = "tpu"
+    # sub-pixel phase decomposition of the up-blocks (see
+    # _fused_up_first_conv).  Default OFF: mathematically identical and
+    # 2x faster in isolated layer timings, but measured SLOWER inside the
+    # whole jitted backbone (13.4 -> 14.6 ms at worm scale; XLA layout
+    # assignment undoes the win; barriers don't help) — kept as an option
+    # because the balance may flip at other shapes/toolchains.
+    fused_up: bool = False
 
     # ---- keras-parity layer plan -----------------------------------------
     def _keras_pools(self):
@@ -172,9 +180,17 @@ class StarDist3DNet:
         for i in range(ncv):
             h = conv(f"bottom_{i}", h)
         for lvl in reversed(range(cfg.unet_n_depth)):
-            h = L.upsample3d(h, cfg.unet_pool)
-            h = jnp.concatenate([h, skips[lvl].astype(h.dtype)], axis=-1)
-            for i in range(ncv):
+            if self.fused_up:
+                h = _fused_up_first_conv(params[f"up{lvl}_0"], h,
+                                         skips[lvl], cfg.unet_pool,
+                                         compute_dtype)
+                start = 1
+            else:
+                h = L.upsample3d(h, cfg.unet_pool)
+                h = jnp.concatenate([h, skips[lvl].astype(h.dtype)],
+                                    axis=-1)
+                start = 0
+            for i in range(start, ncv):
                 h = conv(f"up{lvl}_{i}", h)
         feat = conv("features", h)
         prob = jax.nn.sigmoid(L.conv3d(params["prob_head"], feat,
@@ -271,6 +287,54 @@ class StarDist3DNet:
             convs(ncv)
         convs(1)                          # features (3x3x3)
         return tuple(int(v) for v in r)
+
+
+def _fused_up_first_conv(p, h, skip, pool, compute_dtype):
+    """``relu(conv3(W, concat([upsample(h), skip])) + b)`` without ever
+    materializing the upsampled/concatenated tensor — the TPU-arch
+    up-block's first conv as a sub-pixel phase conv.
+
+    Identity: nearest-upsample by 2 then 3-tap conv == per output PHASE a
+    2-tap conv on the COARSE grid with per-axis collapsed weights
+    (phase 0 taps {-1: W0, 0: W1+W2}, phase 1 {0: W0+W1, +1: W2}); all 8
+    phases stack into output channels of ONE coarse conv (8x c_out wide —
+    near-full MXU columns) whose results interleave back to the fine
+    grid.  The concat splits by input channels into this coarse conv plus
+    a fine-grid conv over the skip.  Measured on v5e at worm scale
+    (scripts/backbone_profile2.json): the direct up0 stage
+    (upsample + concat + 96->32 conv) costs 4.7 ms in-program with the
+    conv at ~16 TF/s; the phase form moves 2/3 of the FLOPs to a
+    256-channel-out coarse conv at conv128-like rates and deletes the
+    upsample/concat HBM round-trips.
+    """
+    pool = tuple(int(q) for q in pool)
+    c_up = h.shape[-1]
+    w = p["w"]                                   # (3, 3, 3, c_in, c_out)
+    c_out = w.shape[-1]
+    w_a, w_b = w[..., :c_up, :], w[..., c_up:, :]
+
+    # per-axis collapse matrices m[phase, new_tap(-1,0,+1), old_tap]
+    m2 = np.array([[[1, 0, 0], [0, 1, 1], [0, 0, 0]],
+                   [[0, 0, 0], [1, 1, 0], [0, 0, 1]]], np.float32)
+    m1 = np.eye(3, dtype=np.float32)[None]       # pool 1: one phase
+    ms = [m2 if q == 2 else m1 for q in pool]
+    if any(q not in (1, 2) for q in pool):
+        raise NotImplementedError(f"pool {pool}")
+    w_ph = jnp.einsum("PZz,QYy,RXx,zyxio->ZYXiPQRo",
+                      jnp.asarray(ms[0]), jnp.asarray(ms[1]),
+                      jnp.asarray(ms[2]), w_a)
+    n_ph = int(np.prod([m.shape[0] for m in ms]))
+    w_ph = w_ph.reshape(3, 3, 3, c_up, n_ph * c_out)
+
+    y_c = L.conv3d({"w": w_ph}, h, compute_dtype)    # (zc, yc, xc, 8co)
+    zc, yc, xc = y_c.shape[1:4]
+    pz, py, px = (ms[0].shape[0], ms[1].shape[0], ms[2].shape[0])
+    y_c = y_c.reshape(y_c.shape[0], zc, yc, xc, pz, py, px, c_out)
+    y_a = jnp.transpose(y_c, (0, 1, 4, 2, 5, 3, 6, 7)).reshape(
+        y_c.shape[0], zc * pz, yc * py, xc * px, c_out)
+
+    y_b = L.conv3d({"w": w_b}, skip.astype(y_a.dtype), compute_dtype)
+    return jax.nn.relu(y_a + y_b + p["b"])
 
 
 @functools.partial(jax.jit, static_argnames=(

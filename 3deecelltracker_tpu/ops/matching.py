@@ -90,16 +90,26 @@ def simple_match(initial_match_matrix: jax.Array, threshold: float = 0.1,
 
 
 @functools.partial(jax.jit, static_argnames=("threshold",))
-def legacy_init_match(corr: jax.Array, threshold: float = 0.5) -> jax.Array:
+def legacy_init_match(corr: jax.Array, threshold: float = 0.5,
+                      ref_mask=None, tgt_mask=None) -> jax.Array:
     """The peel embedded in ``pr_gls_quick`` (track.py:58-70): unmatched
     rows stay uniform 1/n; matched rows become 0.1/(n-1) except 0.9 at the
-    matched column."""
-    pairs, _, _ = _peel_loop(corr, threshold)
-    n = corr.shape[1]
+    matched column.
+
+    With padded point sets, pass ``ref_mask``/``tgt_mask``: n is the VALID
+    ref count, padded pairs get zero prior and can never be matched."""
+    m, n_static = corr.shape
+    if ref_mask is None:
+        ref_mask = jnp.ones((n_static,), bool)
+    if tgt_mask is None:
+        tgt_mask = jnp.ones((m,), bool)
+    valid = tgt_mask[:, None] & ref_mask[None, :]
+    pairs, _, _ = _peel_loop(jnp.where(valid, corr, 0.0), threshold)
+    n = jnp.sum(ref_mask.astype(jnp.float32))
     matched_row = jnp.any(pairs, axis=1, keepdims=True)
-    base = jnp.where(matched_row, 0.1 / (n - 1), 1.0 / n)
-    return jnp.where(pairs, 0.9, jnp.broadcast_to(base, corr.shape)
-                     ).astype(jnp.float32)
+    base = jnp.where(matched_row, 0.1 / (n - 1.0), 1.0 / n)
+    out = jnp.where(pairs, 0.9, jnp.broadcast_to(base, corr.shape))
+    return jnp.where(valid, out, 0.0).astype(jnp.float32)
 
 
 @functools.partial(jax.jit, static_argnames=("threshold",))

@@ -249,48 +249,75 @@ class LegacyPrglsResult(NamedTuple):
 @functools.partial(jax.jit, static_argnames=("max_iteration",))
 def pr_gls_quick(x_ref: jax.Array, y_tgt: jax.Array, corr: jax.Array,
                  beta: float = 300.0, max_iteration: int = 20,
-                 lambda_: float = 0.1, vol: float = 1e8
+                 lambda_: float = 0.1, vol: float = 1e8,
+                 ref_mask: Optional[jax.Array] = None,
+                 tgt_mask: Optional[jax.Array] = None
                  ) -> LegacyPrglsResult:
     """Legacy v0.4 PR-GLS (``track.py:11-114``), including its distinct
     numerics: gamma starts at 0.1, the E-step denominator is
     gamma (2 pi sigma^2)^1.5 / ((1-gamma) vol), movement applies from the
     first iteration, sigma^2 clamps at >= 1, fixed iteration budget (no
     convergence break), and the 0.5-threshold peel builds the prior.
+
+    ``ref_mask``/``tgt_mask``: validity masks for PADDED point sets (park
+    padded points far away, e.g. 1e6) so the recurrence jits once per
+    static shape; all counts (n, m) in the math use the VALID counts, so
+    the result equals the unpadded computation exactly.  Padded ref rows
+    receive zero coefficients and zero movement.
     """
     from .matching import legacy_init_match
 
     ctx = jax.default_matmul_precision("highest")
     ctx.__enter__()
-    n = x_ref.shape[0]
-    m = y_tgt.shape[0]
-    init_match = legacy_init_match(corr, threshold=0.5)
+    n_static = x_ref.shape[0]
+    m_static = y_tgt.shape[0]
+    if ref_mask is None:
+        ref_mask = jnp.ones((n_static,), bool)
+    if tgt_mask is None:
+        tgt_mask = jnp.ones((m_static,), bool)
+    valid = tgt_mask[:, None] & ref_mask[None, :]
+    n = jnp.sum(ref_mask.astype(jnp.float32))
+    m = jnp.sum(tgt_mask.astype(jnp.float32))
+    init_match = legacy_init_match(corr, threshold=0.5,
+                                   ref_mask=ref_mask, tgt_mask=tgt_mask)
 
     gram = gaussian_gram(x_ref, x_ref, beta ** 2)
-    sigma_sq0 = jnp.sum(pairwise_sq_dists(x_ref, y_tgt)) / (3.0 * n * m)
-    eye = jnp.eye(n, dtype=jnp.float32)
+    # parked-far padding already zeroes cross terms; zero the padded
+    # diagonal (self-distance 0 -> exp = 1) too
+    gram = jnp.where(ref_mask[:, None] & ref_mask[None, :], gram, 0.0)
+    sigma_sq0 = jnp.sum(jnp.where(valid.T,
+                                  pairwise_sq_dists(x_ref, y_tgt), 0.0)) \
+        / (3.0 * n * m)
+    eye = jnp.eye(n_static, dtype=jnp.float32)
 
     def body(it, carry):
         t_x, sigma_sq, gamma, _, _ = carry
         dist_sq = pairwise_sq_dists(y_tgt, t_x)            # (m, n)
-        p1 = init_match * jnp.exp(-dist_sq / (2.0 * sigma_sq))
+        p1 = init_match * jnp.exp(-jnp.where(valid, dist_sq, 0.0)
+                                  / (2.0 * sigma_sq))
+        p1 = jnp.where(valid, p1, 0.0)
         denom = jnp.sum(p1, axis=1) + gamma * \
             (2.0 * jnp.pi * sigma_sq) ** 1.5 / ((1.0 - gamma) * vol)
-        post = p1 / denom[:, None]
+        post = jnp.where(valid, p1 / denom[:, None], 0.0)
 
         diag_p = jnp.sum(post, axis=0)                     # (n,)
         a = gram * diag_p[None, :] + lambda_ * sigma_sq * eye
         b = y_tgt.T @ post - x_ref.T * diag_p[None, :]
         c = jnp.linalg.solve(a.T, b.T).T                   # (3, n)
+        c = jnp.where(ref_mask[None, :], c, 0.0)
         t_x = (x_ref.T + c @ gram).T
 
         m_p = jnp.sum(post)
         gamma = 1.0 - m_p / m
         dist_sq2 = pairwise_sq_dists(y_tgt, t_x)
-        sigma_sq = jnp.maximum(jnp.sum(post * dist_sq2) / (3.0 * m_p), 1.0)
+        sigma_sq = jnp.maximum(
+            jnp.sum(post * jnp.where(valid, dist_sq2, 0.0))
+            / (3.0 * m_p), 1.0)
         return t_x, sigma_sq, gamma, post, c
 
     carry0 = (x_ref.astype(jnp.float32), sigma_sq0, jnp.float32(0.1),
-              jnp.zeros((m, n), jnp.float32), jnp.zeros((3, n), jnp.float32))
+              jnp.zeros((m_static, n_static), jnp.float32),
+              jnp.zeros((3, n_static), jnp.float32))
     # reference iterates range(1, max_iteration) -> max_iteration-1 rounds
     t_x, sigma_sq, gamma, post, c = jax.lax.fori_loop(
         1, max_iteration, body, carry0)

@@ -22,6 +22,25 @@ from ..engine.tracker import track_step
 from ..ops.trim import trim_mean
 
 
+def _member_predictions(ffn_params, ffn_state,
+                        confirmed_stack: jax.Array,     # (E, L, 3)
+                        seg_t1_stack: jax.Array,        # (E, M, 3)
+                        seg_t1_masks: jax.Array,        # (E, M)
+                        seg_t2: jax.Array,              # (M, 3)
+                        seg_t2_mask: jax.Array,         # (M,)
+                        beta: float = 3.0, lambda_: float = 3.0,
+                        k_points: int = 20, max_iteration: int = 2000,
+                        m_step_refine: int = 0) -> jax.Array:
+    """Per-member tracked predictions (E, L, 3), vmapped fan-out."""
+    def member(confirmed, seg1, mask1):
+        return track_step(ffn_params, ffn_state, confirmed, seg1, mask1,
+                          seg_t2, seg_t2_mask, beta=beta, lambda_=lambda_,
+                          k_points=k_points, max_iteration=max_iteration,
+                          m_step_refine=m_step_refine)
+
+    return jax.vmap(member)(confirmed_stack, seg_t1_stack, seg_t1_masks)
+
+
 @functools.partial(jax.jit, static_argnames=("k_points", "max_iteration",
                                              "trim_proportion",
                                              "m_step_refine"))
@@ -36,13 +55,10 @@ def ensemble_track_step(ffn_params, ffn_state,
                         trim_proportion: float = 0.1,
                         m_step_refine: int = 0) -> jax.Array:
     """All ensemble members at once; returns trim-mean combined (L, 3)."""
-    def member(confirmed, seg1, mask1):
-        return track_step(ffn_params, ffn_state, confirmed, seg1, mask1,
-                          seg_t2, seg_t2_mask, beta=beta, lambda_=lambda_,
-                          k_points=k_points, max_iteration=max_iteration,
-                          m_step_refine=m_step_refine)
-
-    preds = jax.vmap(member)(confirmed_stack, seg_t1_stack, seg_t1_masks)
+    preds = _member_predictions(
+        ffn_params, ffn_state, confirmed_stack, seg_t1_stack, seg_t1_masks,
+        seg_t2, seg_t2_mask, beta=beta, lambda_=lambda_, k_points=k_points,
+        max_iteration=max_iteration, m_step_refine=m_step_refine)
     return trim_mean(preds, trim_proportion, axis=0)
 
 
@@ -56,6 +72,27 @@ def make_sharded_ensemble_step(mesh: Mesh, data_axis: str = "data",
     replicated = NamedSharding(mesh, P())
 
     fn = functools.partial(ensemble_track_step, **static_kwargs)
+    return jax.jit(
+        fn,
+        in_shardings=(replicated, replicated, member_sharded,
+                      member_sharded, member_sharded, replicated,
+                      replicated),
+        out_shardings=replicated)
+
+
+def make_sharded_ensemble_members(mesh: Mesh, data_axis: str = "data",
+                                  **static_kwargs):
+    """Like :func:`make_sharded_ensemble_step` but returns the raw
+    (E, L, 3) member predictions (replicated) instead of the trimmed
+    mean — so a caller that padded E up to a mesh-axis multiple (see
+    :func:`pad_members`) can drop the padding rows and apply the EXACT
+    trimmed mean over the real members (a trim over repeated padding
+    members would bias the combine).  This is the form
+    ``engine.pipeline.track_timelapse(mesh=...)`` uses."""
+    member_sharded = NamedSharding(mesh, P(data_axis))
+    replicated = NamedSharding(mesh, P())
+
+    fn = functools.partial(_member_predictions, **static_kwargs)
     return jax.jit(
         fn,
         in_shardings=(replicated, replicated, member_sharded,

@@ -49,6 +49,12 @@ def main():
     enable_compilation_cache()
     ap = argparse.ArgumentParser()
     ap.add_argument("--out", default="/tmp/t3dct_demo")
+    ap.add_argument("--h5", action="store_true",
+                    help="exercise the HDF5 recording contract: pack the "
+                         "synthetic volumes into one (T, C, Z, Y, X) h5 "
+                         "and drive the whole pipeline through the "
+                         '{"h5_file", "channel"} images_path dict '
+                         "(reference track_stardist_single_mode-h5.ipynb)")
     args = ap.parse_args()
     out = Path(args.out)
     raw_dir = out / "raw"
@@ -70,6 +76,16 @@ def main():
         save_label_slices(img16.transpose(1, 2, 0), raw_dir,
                           "raw_t%03i_z%04i.tif", t, use_8_bit=False,
                           compression=None)
+    if args.h5:
+        from t3dct.io.imageio import save_recording_h5
+        vols = [make_volume(t, centers0, drift,
+                            np.random.RandomState(t))[0] for t in
+                range(1, N_VOLS + 1)]
+        save_recording_h5(out / "recording.h5",
+                          [(v / v.max() * 40000).astype(np.uint16)
+                           for v in vols])
+        images_path = {"h5_file": str(out / "recording.h5"), "channel": 0}
+        print(f"== packed recording into {out / 'recording.h5'}")
     img1, lab1 = make_volume(1, centers0, drift, np.random.RandomState(1))
     img1n = (img1 - np.percentile(img1, 1)) / \
         (np.percentile(img1, 99.8) - np.percentile(img1, 1))

@@ -1,0 +1,100 @@
+"""Measure the TRUE device-side cost of zebrafish-scale tiled StarDist
+(VERDICT r2 #6): upload the (64, 512, 512) volume ONCE, dispatch every
+tile program against device-resident slices, and fetch one checksum —
+no per-tile host->device transfer in the timed region (the shipped wall
+of 18.8 s is upload-bandwidth-bound through the dev link; this measures
+what a co-located host would see).
+
+Run on the TPU:  python scripts/measure_zebrafish_device.py
+"""
+
+import json
+import sys
+import time
+from pathlib import Path
+
+import numpy as np
+
+sys.path.insert(0, str(Path(__file__).parent.parent))
+
+import jax                                     # noqa: E402
+import jax.numpy as jnp                        # noqa: E402
+
+import t3dct                                   # noqa: F401,E402
+from t3dct.utils import enable_compilation_cache   # noqa: E402
+from t3dct.config import StarDistConfig        # noqa: E402
+from t3dct.engine.stardist import StarDist3D   # noqa: E402
+
+SHAPE = (64, 512, 512)
+TILE = (64, 160, 160)          # div_by-rounded inside _plan_tiling
+
+
+def main():
+    enable_compilation_cache()
+    print("devices:", jax.devices(), flush=True)
+    cfg = StarDistConfig(n_rays=96, grid=(2, 2, 2),
+                         anisotropy=(4.0, 1.0, 1.0), prob_thresh=0.5)
+    model = StarDist3D(cfg, max_candidates=2048, render_box=(17, 33, 33))
+    rng = np.random.RandomState(0)
+    x = rng.rand(*SHAPE).astype(np.float32)
+
+    vol, grid, tiles, shr, plan, padded, gshape, c_g = \
+        model._plan_tiling(x, TILE, None)
+    prog = model._get_tile_program(tiles, shr, vol, 256)
+    print(f"tiles {tiles}, shrink {shr}, n_tiles {len(plan.origins)}",
+          flush=True)
+
+    padded_dev = jax.device_put(jnp.asarray(padded))
+    jax.device_get(jnp.sum(padded_dev[:1, :1, :1]))   # settle upload
+    mi, ma = np.float32(0.0), np.float32(1.0)
+
+    def run_all():
+        outs = []
+        for origin in plan.origins:
+            o = tuple(int(v) for v in origin)
+            tile = jax.lax.dynamic_slice(padded_dev, o, tiles)
+            og = tuple(v // g for v, g in zip(o, grid))
+            outs.append(prog(model.params, tile, mi, ma,
+                             np.asarray(og, np.int32), np.float32(0.5)))
+        s = sum(jnp.sum(o[1]) + jnp.sum(o[0][:2, :2, :2]) for o in outs)
+        return jax.device_get(s), outs
+
+    # warm-up (compiles)
+    _, outs = run_all()
+    times = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        run_all()
+        times.append(time.perf_counter() - t0)
+    tile_ms = float(np.median(times) * 1e3)
+    print(f"device-resident tile sweep: {tile_ms:.1f} ms", flush=True)
+
+    # global combine (overlap + NMS + render) on the concatenated
+    # candidates — measured with device-resident candidate inputs
+    probs = jnp.concatenate([o[1] for o in outs])
+    dists = jnp.concatenate([o[2] for o in outs])
+    points = jnp.concatenate([o[3] for o in outs])
+    valid = jnp.concatenate([o[4] for o in outs])
+    combine = model._get_combine_program(int(probs.shape[0]), SHAPE, True)
+    out = combine(probs, dists, points, valid, np.float32(0.3))
+    jax.device_get(jnp.sum(out[1][:2, :2, :2]))
+    times = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        o = combine(probs, dists, points, valid, np.float32(0.3))
+        jax.device_get(jnp.sum(o[1][:2, :2, :2]))
+        times.append(time.perf_counter() - t0)
+    combine_ms = float(np.median(times) * 1e3)
+    print(f"global NMS + full-volume render: {combine_ms:.1f} ms",
+          flush=True)
+
+    results = {"shape": SHAPE, "n_tiles": len(plan.origins),
+               "tile_sweep_ms": tile_ms, "combine_render_ms": combine_ms,
+               "total_device_ms": tile_ms + combine_ms}
+    out_p = Path(__file__).parent / "zebrafish_device.json"
+    out_p.write_text(json.dumps(results, indent=2))
+    print(json.dumps(results, indent=2))
+
+
+if __name__ == "__main__":
+    main()
