@@ -101,17 +101,22 @@ def legacy_fit_and_predict(ffn_params, ffn_state,
 
 
 @functools.partial(jax.jit, static_argnames=(
-    "rep", "max_iteration", "k_points", "trim_proportion"))
-def legacy_fit_and_predict_ensemble(ffn_params, ffn_state,
-                                    inter0_stack, inter_masks,
-                                    tgt, tgt_mask, tracked0_stack,
-                                    beta0: float, lambda_: float,
-                                    rep: int = REP_NUM_PRGLS,
-                                    max_iteration: int = 20,
-                                    k_points: int = K_POINTS,
-                                    trim_proportion: float = 0.1):
-    """All ensemble source volumes in one dispatch (vmapped members +
-    on-device trimmed mean, ``tracker.py:1502-1507``)."""
+    "rep", "max_iteration", "k_points"))
+def legacy_fit_members(ffn_params, ffn_state,
+                       inter0_stack, inter_masks,
+                       tgt, tgt_mask, tracked0_stack,
+                       beta0: float, lambda_: float,
+                       rep: int = REP_NUM_PRGLS,
+                       max_iteration: int = 20,
+                       k_points: int = K_POINTS):
+    """All ensemble source volumes in one dispatch (vmapped members,
+    ``tracker.py:1502-1507``); returns the (E, n_t0, 3) per-member
+    predictions.  The caller pads E to a CONSTANT (the configured
+    ensemble size) by repeating a member and trims over the real rows on
+    host — early volumes have fewer reference volumes than the ensemble
+    size, and letting E vary would recompile the program per count
+    (measured: two in-loop remote compiles made the ensemble path 2x
+    SLOWER than the host loop)."""
     def member(inter0, mask, tracked0):
         pred, _, _ = legacy_fit_and_predict(
             ffn_params, ffn_state, inter0, mask, tgt, tgt_mask, tracked0,
@@ -119,8 +124,7 @@ def legacy_fit_and_predict_ensemble(ffn_params, ffn_state,
             k_points=k_points)
         return pred
 
-    preds = jax.vmap(member)(inter0_stack, inter_masks, tracked0_stack)
-    return trim_mean(preds, trim_proportion, axis=0)
+    return jax.vmap(member)(inter0_stack, inter_masks, tracked0_stack)
 
 
 @functools.partial(jax.jit, static_argnames=(
@@ -826,18 +830,27 @@ class Tracker:
                 self.ffn_params, self.ffn_state, inter0, m1, tgt, m2,
                 tracked0, self.beta_tk, self.lambda_tk,
                 rep=REP_NUM_PRGLS, max_iteration=self.max_iteration)
+            r_coor_mean = np.asarray(jax.device_get(pred_dev),
+                                     np.float64)
         else:
-            # whole ensemble in one dispatch (vmapped members + device
-            # trimmed mean)
+            # whole ensemble in one dispatch; member axis padded to the
+            # CONSTANT configured size so the program compiles once
             ins = [self._fused_predict_inputs(sv) for sv in source_vols]
-            pred_dev = legacy_fit_and_predict_ensemble(
+            n_real = len(ins)
+            e_pad = max(int(self.ensemble), n_real)
+            ins = ins + [ins[-1]] * (e_pad - n_real)
+            preds_dev = legacy_fit_members(
                 self.ffn_params, self.ffn_state,
                 np.stack([a for a, _, _ in ins]),
                 np.stack([m for _, m, _ in ins]),
                 tgt, m2, np.stack([t for _, _, t in ins]),
                 self.beta_tk, self.lambda_tk, rep=REP_NUM_PRGLS,
                 max_iteration=self.max_iteration)
-        r_coor_mean = np.asarray(jax.device_get(pred_dev), np.float64)
+            preds = np.asarray(jax.device_get(preds_dev),
+                               np.float64)[:n_real]
+            # scipy.stats.trim_mean semantics (tracker.py:1507)
+            k = int(0.1 * n_real)
+            r_coor_mean = np.sort(preds, axis=0)[k:n_real - k].mean(axis=0)
 
         cells_bd = self._get_cells_onBoundary(r_coor_mean, self.ensemble)
         self.cells_on_boundary[cells_bd] = 1

@@ -98,6 +98,85 @@ def fused_track_and_correct(ffn_params, ffn_state,
         jnp.uint8 if labels_u8 else jnp.uint16)
 
 
+def segment_and_track(images_path, model,
+                      results_dir: Union[str, Path],
+                      manual_vol1_glob: str,
+                      ffn_weights,
+                      voxel_size: Tuple[float, float, float],
+                      interpolation_factor: int,
+                      t_range: Tuple[int, int],
+                      config: TrackingConfig = TrackingConfig(),
+                      miss_frame: Optional[List[int]] = None,
+                      save_figures: bool = False,
+                      verbose: bool = True,
+                      timer=None) -> Dict[int, np.ndarray]:
+    """Run segmentation AND tracking concurrently over one recording:
+    ``predict_and_save`` on its own thread, ``track_timelapse`` on the
+    caller's, handing volumes off as their seg artifacts land.
+
+    The reference runs the two stages strictly in sequence
+    (``stardistwrapper.predict_and_save`` first, then the notebook's
+    tracking loop) — so does the split driver here, and the total wall
+    is seg + track.  But the stages load OPPOSITE directions of the
+    host<->device link (seg is upload-dominated: raw volumes in; track
+    is download-dominated: labels out) and neither saturates device
+    compute, so overlapping them approaches max(seg, track) instead of
+    the sum.  Requires the proofed ``manual_vol1`` labels up front (the
+    normal workflow: vol 1 was segmented + corrected in a previous
+    session; ``seg/`` artifacts for vol 1 are REgenerated here).
+    """
+    import threading
+
+    from .stardist import predict_and_save
+
+    t_min, t_max = t_range
+    done_lock = threading.Condition()
+    done: set = set()
+    watermark = [t_min - 1]
+    seg_error: List[Exception] = []
+
+    def progress(t):
+        with done_lock:
+            done.add(t)
+            while watermark[0] + 1 in done:
+                watermark[0] += 1
+            done_lock.notify_all()
+
+    def seg_thread():
+        try:
+            predict_and_save(images_path, model, results_dir,
+                             volumes=list(range(t_min, t_max + 1)),
+                             progress_cb=progress)
+        except Exception as e:          # surface on the tracking side
+            seg_error.append(e)
+        with done_lock:
+            watermark[0] = max(watermark[0], t_max)
+            done_lock.notify_all()
+
+    def volume_ready(t):
+        with done_lock:
+            done_lock.wait_for(lambda: watermark[0] >= t or seg_error)
+        if seg_error:
+            raise RuntimeError("segmentation failed") from seg_error[0]
+
+    th = threading.Thread(target=seg_thread, daemon=True)
+    th.start()
+    try:
+        coords = track_timelapse(
+            results_dir, manual_vol1_glob, ffn_weights,
+            voxel_size=voxel_size,
+            interpolation_factor=interpolation_factor,
+            t_range=t_range, grid=tuple(model.config.grid),
+            config=config, miss_frame=miss_frame,
+            images_path=images_path, save_figures=save_figures,
+            verbose=verbose, timer=timer, volume_ready=volume_ready)
+    finally:
+        th.join()
+    if seg_error:
+        raise seg_error[0]
+    return coords
+
+
 @functools.lru_cache(maxsize=8)
 def _sharded_members_cache(mesh, beta, lambda_, k_points, max_iteration,
                            m_step_refine):
@@ -123,6 +202,7 @@ def track_timelapse(results_dir: Union[str, Path],
                     verbose: bool = True,
                     timer=None,
                     mesh=None,
+                    volume_ready=None,
                     ) -> Dict[int, np.ndarray]:
     """Track all volumes; returns {t: real coordinates}.
 
@@ -135,6 +215,11 @@ def track_timelapse(results_dir: Union[str, Path],
     axis multiple; the exact trimmed mean runs over the real members
     after the XLA all-gather).  Single mode ignores it (the recurrence is
     serial; scale-out there is over tiles/volumes, see parallel/).
+
+    ``volume_ready``: optional ``fn(t)`` the artifact prefetcher calls
+    (and blocks on) before reading volume t's seg artifacts — lets
+    :func:`segment_and_track` start tracking while segmentation is still
+    writing later volumes.
     """
     from ..utils.profiling import StageTimer
     if timer is None:
@@ -252,6 +337,8 @@ def track_timelapse(results_dir: Union[str, Path],
         return tracker._pad_np(np.asarray(raw_pts, np.float32) * vs_np)
 
     def _load_inputs(t2):
+        if volume_ready is not None:
+            volume_ready(t2)
         prob = transformer.tree.load_seg_prob(t2).astype(np.float16)
         if config.ensemble:
             return prob, None, None

@@ -645,7 +645,8 @@ def predict_and_save(images_path, model: StarDist3D,
                      results_folder: Union[str, Path],
                      prefetch_depth: int = 2,
                      batch_size: int = 4,
-                     volumes=None) -> None:
+                     volumes=None,
+                     progress_cb=None) -> None:
     """Segment every volume and persist seg/ artifacts
     (``stardistwrapper.predict_and_save`` :75-111): coords saved (y, x, z)
     -> the pipeline's (x, y, z) frame, prob_map transposed to (x, y, z).
@@ -656,6 +657,10 @@ def predict_and_save(images_path, model: StarDist3D,
     hosts write disjoint artifacts into one shared results tree; the
     host whose shard contains the recording's first volume also renders
     the ``auto_vol1`` labels).  Default: every volume in the recording.
+
+    ``progress_cb``: optional ``cb(t)`` invoked (on a saver thread) after
+    volume ``t``'s seg artifacts are fully written — the hand-off hook
+    for the concurrent ``pipeline.segment_and_track`` driver.
 
     Pipelined: input volumes prefetch on one thread (raw dtype, with the
     1/99.8 normalization percentiles computed there too — normalization
@@ -705,6 +710,8 @@ def predict_and_save(images_path, model: StarDist3D,
             save_volume_slices(labels.transpose((1, 2, 0)),
                                Path(results_folder) / "auto_vol1",
                                "auto_vol1_z%04i.tif")
+        if progress_cb is not None:
+            progress_cb(t)
 
     def saver():
         while True:

@@ -26,20 +26,23 @@ from t3dct.config import StarDistConfig        # noqa: E402
 from t3dct.engine.stardist import StarDist3D   # noqa: E402
 
 SHAPE = (64, 512, 512)
-TILE = (64, 160, 160)          # div_by-rounded inside _plan_tiling
+TILE = (None, 176, 176)        # div_by-rounded inside _plan_tiling
 
 
 def main():
     enable_compilation_cache()
     print("devices:", jax.devices(), flush=True)
-    cfg = StarDistConfig(n_rays=96, grid=(2, 2, 2),
+    # the round-2 zebrafish benchmark's configuration
+    # (examples/segment_large_volume.py): 96 rays, grid (2,4,4),
+    # z untiled, sub-RF xy shrink
+    cfg = StarDistConfig(n_rays=96, grid=(2, 4, 4),
                          anisotropy=(4.0, 1.0, 1.0), prob_thresh=0.5)
     model = StarDist3D(cfg, max_candidates=2048, render_box=(17, 33, 33))
     rng = np.random.RandomState(0)
     x = rng.rand(*SHAPE).astype(np.float32)
 
     vol, grid, tiles, shr, plan, padded, gshape, c_g = \
-        model._plan_tiling(x, TILE, None)
+        model._plan_tiling(x, TILE, (0, 48, 48))
     prog = model._get_tile_program(tiles, shr, vol, 256)
     print(f"tiles {tiles}, shrink {shr}, n_tiles {len(plan.origins)}",
           flush=True)
