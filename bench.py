@@ -6,10 +6,14 @@ What is measured (the actual entry points a user calls, per VERDICT r1 #3):
   1. ``engine.stardist.predict_and_save``  — segment a worm1-scale
      recording from per-(t,z) uint16 TIFFs on disk into ``seg/`` artifacts
      (prefetch thread -> raw uint16 upload -> fused device pipeline ->
-     saver thread), and
+     saver thread),
   2. ``engine.pipeline.track_timelapse``   — FFN + PR-GLS + accurate
      correction + boundary recalculation over the ``seg/`` artifacts with
-     a briefly-trained FFN, writing coords npy + label TIFFs.
+     a briefly-trained FFN, writing coords npy + label TIFFs, and
+  3. the OVERLAPPED composition (``engine.pipeline.segment_and_track``):
+     seg on its own thread, tracking gated per-volume on seg completion —
+     the headline number, since seg is upload-dominated and track is
+     download-dominated so the shipped driver overlaps them.
 
 Recording: 1 warm + 20 timed volumes of (z=24, y=401, x=168) uint16 with ~150
 drifting cells (worm1 demo scale: voxel_size (1,1,9.2), 96 rays,
@@ -143,12 +147,17 @@ def write_gt_seg_artifacts(results: Path, centers_by_t):
         tree.save_seg_prob(t, prob.transpose(1, 2, 0))   # (x, y, z) frame
 
 
-def bench_seg(images_path, results: Path):
+def make_model():
     from t3dct.config import StarDistConfig
-    from t3dct.engine.stardist import StarDist3D, predict_and_save
+    from t3dct.engine.stardist import StarDist3D
 
     cfg = StarDistConfig(n_rays=96, grid=GRID, anisotropy=(9.2, 1.0, 1.0))
-    model = StarDist3D(cfg, max_candidates=256, render_box=(9, 33, 33))
+    return StarDist3D(cfg, max_candidates=256, render_box=(9, 33, 33))
+
+
+def bench_seg(images_path, results: Path, model):
+    from t3dct.engine.stardist import predict_and_save
+
     # pass 1: compile warm-up + artifact creation
     predict_and_save(images_path, model, results)
     # pass 2: timed, end-to-end (decode, percentiles, upload, fused device
@@ -191,6 +200,7 @@ def bench_track(results: Path, lab1):
     t0 = time.perf_counter()
     coords_by_t = run()         # pass 2: timed
     dt = time.perf_counter() - t0
+    ffn_w = (ffn_tr.params, ffn_tr.bn_state)
     # sanity: tracked t=N stays near the drifted ground truth.  Tracked
     # row i follows vol-1 cell i whose label id was re-assigned by
     # connected-component relabeling, so anchor the GT row mapping at t=1
@@ -201,7 +211,63 @@ def bench_track(results: Path, lab1):
     perm = np.linalg.norm(coords_by_t[1][:, None] - gt1[None, :],
                           axis=2).argmin(1)
     err = np.linalg.norm(coords_by_t[N_VOLS] - gtN[perm], axis=1)
-    return dt / (N_VOLS - 1), float(np.median(err))
+    return dt / (N_VOLS - 1), float(np.median(err)), ffn_w
+
+
+def bench_overlapped(images_path, results: Path, seg_results: Path,
+                     model, ffn_w):
+    """Overlapped e2e wall: the shipped ``segment_and_track`` composition —
+    ``predict_and_save`` on its own thread (full real work into a fresh
+    ``seg_results`` tree) while ``track_timelapse`` runs on the caller's
+    thread, gated per-volume on seg completion exactly as
+    ``pipeline.segment_and_track`` gates it.  The tracking stage reads the
+    converging GT-derived artifacts (same justification as ``bench_track``:
+    the EM needs production-like converging inputs, which random StarDist
+    weights cannot produce), so the data coupling is cut but both stages do
+    their full per-volume work — decode, transfers both directions, device
+    programs, artifact writes — concurrently on the one host/link/chip.
+    Both programs are already compiled by the earlier passes."""
+    import threading
+
+    from t3dct.config import TrackingConfig
+    from t3dct.engine.pipeline import track_timelapse
+    from t3dct.engine.stardist import predict_and_save
+
+    lock = threading.Condition()
+    done: set = set()
+    watermark = [0]
+
+    def progress(t):
+        with lock:
+            done.add(t)
+            while watermark[0] + 1 in done:
+                watermark[0] += 1
+            lock.notify_all()
+
+    def seg_thread():
+        try:
+            predict_and_save(images_path, model, seg_results,
+                             progress_cb=progress)
+        finally:
+            with lock:
+                watermark[0] = N_VOLS
+                lock.notify_all()
+
+    def volume_ready(t):
+        with lock:
+            lock.wait_for(lambda: watermark[0] >= t)
+
+    th = threading.Thread(target=seg_thread, daemon=True)
+    t0 = time.perf_counter()
+    th.start()
+    track_timelapse(
+        results, str(results / "manual_vol1" / "*.tif"), ffn_w,
+        voxel_size=VOXEL_SIZE, interpolation_factor=10,
+        t_range=(1, N_VOLS), grid=GRID,
+        config=TrackingConfig(beta=3.0, lambda_=3.0),
+        verbose=False, volume_ready=volume_ready)
+    th.join()
+    return (time.perf_counter() - t0) / N_VOLS
 
 
 def main():
@@ -211,19 +277,24 @@ def main():
         raw_dir.mkdir(parents=True)
         results = work / "results"
         images_path, centers_by_t, lab1 = make_recording(raw_dir)
-        t_seg = bench_seg(images_path, results)
+        model = make_model()
+        t_seg = bench_seg(images_path, results, model)
         write_gt_seg_artifacts(results, centers_by_t)
-        t_track, med_err = bench_track(results, lab1)
-        total = t_seg + t_track
-        vols_per_sec = 1.0 / total
+        t_track, med_err, ffn_w = bench_track(results, lab1)
+        seg_results = work / "results_overlap"
+        t_overlap = bench_overlapped(images_path, results, seg_results,
+                                     model, ffn_w)
+        vols_per_sec = 1.0 / t_overlap
         print(json.dumps({
             "metric": "e2e_pipeline_volumes_per_sec",
             "value": round(vols_per_sec, 4),
-            "unit": (f"volumes/sec, shipped predict_and_save + "
-                     f"track_timelapse, worm1 scale on disk "
-                     f"(seg {t_seg * 1e3:.0f}ms + track {t_track * 1e3:.0f}"
-                     f"ms per volume, wall incl. host I/O + transfers; "
-                     f"tracking median err {med_err:.2f})"),
+            "unit": (f"volumes/sec, shipped segment_and_track composition "
+                     f"(predict_and_save || track_timelapse overlapped), "
+                     f"worm1 scale on disk; sequential stages: seg "
+                     f"{t_seg * 1e3:.0f}ms + track {t_track * 1e3:.0f}ms "
+                     f"per volume, overlapped {t_overlap * 1e3:.0f}ms, "
+                     f"wall incl. host I/O + transfers; tracking median "
+                     f"err {med_err:.2f}"),
             "vs_baseline": round(vols_per_sec / REFERENCE_VOLS_PER_SEC, 2),
         }))
     finally:
