@@ -128,7 +128,8 @@ def legacy_fit_members(ffn_params, ffn_state,
 
 
 @functools.partial(jax.jit, static_argnames=(
-    "max_repetition", "overlap_mode", "out_of_range", "render"))
+    "max_repetition", "overlap_mode", "out_of_range", "render",
+    "labels_u8"))
 def legacy_correction_and_render(atlas, weights: jax.Array,
                                  i_disp0: jax.Array, include: jax.Array,
                                  tracked_t0_real: jax.Array,
@@ -136,7 +137,8 @@ def legacy_correction_and_render(atlas, weights: jax.Array,
                                  max_repetition: int = REP_NUM_CORRECTION,
                                  overlap_mode: str = "add",
                                  out_of_range: str = "clip",
-                                 render: bool = True):
+                                 render: bool = True,
+                                 labels_u8: bool = False):
     """The legacy accurate-correction fixed point
     (``tracker.py:1177-1191, 1310-1348``) plus the final
     ``_transform_motion_to_image`` (:1391-1400) as ONE device program:
@@ -144,7 +146,14 @@ def legacy_correction_and_render(atlas, weights: jax.Array,
     ``lax.while_loop``, then the label render + boundary recalculation.
 
     Returns (r_disp (n, 3), i_disp (n, 3) int32, tracked_labels) —
-    labels only when ``render`` (int32 (x, y, z))."""
+    labels only when ``render`` (int32 (x, y, z); uint8 when
+    ``labels_u8``, valid for <=255 cells — quarters the d2h transfer
+    through a remote link).
+
+    ``weights`` may arrive float16 (half the h2d bytes — the U-Net
+    probability + normalized intensity sum needs ~3 decimal digits);
+    accumulation runs f32 on device either way."""
+    weights = weights.astype(jnp.float32)
     n_t0 = atlas.n_cells
     zr = jnp.float32(z_xy_ratio)
     zs = jnp.float32(z_scaling)
@@ -189,6 +198,8 @@ def legacy_correction_and_render(atlas, weights: jax.Array,
         out_of_range=out_of_range)
     labels = jnp.where(overlap > 1, 0, labels)
     tracked = recalculate_cell_boundaries(labels, overlap)
+    if labels_u8:
+        tracked = tracked.astype(jnp.uint8)
     return r_disp, i_disp, tracked
 
 
@@ -775,7 +786,7 @@ class Tracker:
             [1, 1, self.z_scaling / self.z_xy_ratio])).astype(np.int32)
         weights = np.asarray(
             self.segresult.image_cell_bg + self.segresult.image_gcn,
-            np.float32)
+            np.float16)
         _, i_disp_dev, _ = legacy_correction_and_render(
             self.atlas, weights, i_disp0, (local == 0),
             np.asarray(self.r_coordinates_tracked_t0, np.float32),
@@ -861,19 +872,24 @@ class Tracker:
             r_coor_mean - self.history.r_tracked_coordinates[-1])
         i_disp0 = np.rint(r_disp0 * np.array(
             [1, 1, self.z_scaling / self.z_xy_ratio])).astype(np.int32)
+        # both volume-sized transfers slimmed for the remote link: the
+        # weight map rides h2d as f16 (accumulation is f32 on device) and
+        # the rendered labels ride d2h as uint8 when ids fit
         weights = np.asarray(
             self.segresult.image_cell_bg + self.segresult.image_gcn,
-            np.float32)
+            np.float16)
         include = (self.cells_on_boundary == 0)
+        u8 = bool(self.cell_num_t0 <= 255)
         r_disp_dev, i_disp_dev, labels_dev = legacy_correction_and_render(
             self.atlas, weights, i_disp0, include,
             np.asarray(self.r_coordinates_tracked_t0, np.float32),
             self.z_xy_ratio, self.z_scaling,
-            max_repetition=REP_NUM_CORRECTION, **self._paste_kwargs)
+            max_repetition=REP_NUM_CORRECTION, labels_u8=u8,
+            **self._paste_kwargs)
         r_disp, i_disp, labels = jax.device_get(
             (r_disp_dev, i_disp_dev, labels_dev))
         r_disp = np.asarray(r_disp, np.float64)
-        self.tracked_labels = np.asarray(labels)
+        self.tracked_labels = np.asarray(labels, np.int32)
         save_label_slices(self.tracked_labels, self.paths.track_results,
                           "track_results_t%06i_z%04i.tif", target_volume,
                           self.use_8_bit)
