@@ -44,7 +44,12 @@ tgt = pad + rng.normal(0, 1, pad.shape).astype(np.float32)
 
 
 def timeit(label, fn, n=10):
-    fn()  # compile
+    # warm up AND drain: dispatch is async through the tunnel, so the
+    # compile + first-execute program load must be awaited or it lands
+    # inside the timed region (~1-9 s/program)
+    out = fn()
+    jax.device_get(jnp.sum(out[0]) if isinstance(out, tuple)
+                   else jnp.sum(out))
     t0 = time.perf_counter()
     outs = [fn() for _ in range(n)]
     s = jnp.sum(jnp.stack([jnp.sum(o[0]) if isinstance(o, tuple) else

@@ -148,3 +148,38 @@ def test_legacy_tracker_end_to_end(tmp_path):
     # ensemble mode resets boundary flags every volume
     assert tracker_e.cells_on_boundary.sum() == 0
     assert "EnsembleDstrbtMode" in tracker_e.paths.track_results
+
+
+def test_correction_render_transfer_dtypes():
+    """``legacy_correction_and_render`` transfer slimming: the uint8 label
+    render is bitwise equal to the int32 one, and float16 weight maps
+    (the h2d default in ``track_one_vol``/``match``) stay within a
+    fraction of a voxel of the float32 result."""
+    from t3dct.engine.legacy import legacy_correction_and_render
+    from t3dct.ops.subregions import build_subregion_atlas
+
+    _, lab, centers = _volume_at(1)
+    n = int(lab.max())
+    atlas = build_subregion_atlas(jnp.asarray(lab), n_cells=n,
+                                  box_shape=(10, 10, 6),
+                                  interpolation_factor=Z_SCALING)
+    img2, _, _ = _volume_at(2)
+    weights32 = (img2 / img2.max()).astype(np.float32)
+    tracked_t0 = (centers * np.array([1, 1, Z_XY_RATIO])).astype(np.float32)
+    i_disp0 = np.zeros((n, 3), np.int32)
+    include = np.ones((n,), bool)
+
+    r32, i32, lab32 = jax.device_get(legacy_correction_and_render(
+        atlas, weights32, i_disp0, include, tracked_t0,
+        Z_XY_RATIO, Z_SCALING, max_repetition=5))
+    r8, i8, lab8 = jax.device_get(legacy_correction_and_render(
+        atlas, weights32, i_disp0, include, tracked_t0,
+        Z_XY_RATIO, Z_SCALING, max_repetition=5, labels_u8=True))
+    assert lab8.dtype == np.uint8 and lab32.dtype != np.uint8
+    np.testing.assert_array_equal(lab32.astype(np.uint8), lab8)
+    np.testing.assert_array_equal(r32, r8)
+
+    r16, _, _ = jax.device_get(legacy_correction_and_render(
+        atlas, weights32.astype(np.float16), i_disp0, include, tracked_t0,
+        Z_XY_RATIO, Z_SCALING, max_repetition=5))
+    assert np.max(np.abs(r16 - r32)) < 0.5
