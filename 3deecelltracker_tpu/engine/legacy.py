@@ -654,14 +654,7 @@ class Tracker:
         if not draw:
             return np.asarray(jax.device_get(pred_dev), np.float64), None
         pred, inters, cs = jax.device_get((pred_dev, inters_dev, cs_dev))
-        frames = []
-        p = tracked0.astype(np.float64)
-        for i in range(REP_NUM_PRGLS):
-            beta_i = self.beta_tk * (0.8 ** i)
-            pre = p
-            p = self._predict_one_rep(p, inters[i][m1], beta_i,
-                                      cs[i][:, m1])
-            frames.append((pre, p))
+        frames = self._replay_rep_frames(tracked0, m1, inters, cs)
         anim = None
         try:
             from ..viz import ffn_prgls_animation
@@ -670,6 +663,52 @@ class Tracker:
         except Exception as e:
             print(f"animation skipped: {e}")
         return np.asarray(pred, np.float64), anim
+
+    def _replay_rep_frames(self, tracked0, m1, inters, cs):
+        """Rebuild the per-rep (pre, post) coordinate pairs of the 5-rep
+        beta-annealed prediction on host from the fused fit's replay
+        stacks (tracker.py:1205-1215 does the same replay inline)."""
+        frames = []
+        p = np.asarray(tracked0, np.float64)
+        for i in range(REP_NUM_PRGLS):
+            beta_i = self.beta_tk * (0.8 ** i)
+            pre = p
+            p = self._predict_one_rep(p, inters[i][m1], beta_i,
+                                      cs[i][:, m1])
+            frames.append((pre, p))
+        return frames
+
+    def draw_prediction_grid(self, target_volume: int, method="min_size",
+                             segresult=None, path: Optional[str] = None):
+        """Static per-rep diagnostic grid of the FFN + PR-GLS prediction
+        (``tracker.py:265-279`` ``_draw_transformation`` frames, laid out
+        as a grid instead of the animation): one ROW per reference volume
+        (a single row in single mode; every ensemble member in ensemble
+        mode, ``tracker.py:1502-1507``), one COLUMN per beta-annealing
+        rep.  ``segresult`` as in :meth:`match`.  Returns the figure."""
+        if target_volume in self.miss_frame:
+            raise ValueError("target_volume is a miss_frame")
+        self.segresult = segresult if segresult is not None else \
+            self._segment(target_volume, method)
+        source_vols = get_reference_vols(self.ensemble, target_volume,
+                                         adjacent=self.adjacent)
+        tgt, m2 = self._pad_pts(np.asarray(
+            self.segresult.r_coordinates_segment, np.float32))
+        member_frames = []
+        for sv in source_vols:
+            inter0, m1, tracked0 = self._fused_predict_inputs(sv)
+            _, inters_dev, cs_dev = legacy_fit_and_predict(
+                self.ffn_params, self.ffn_state, inter0, m1, tgt, m2,
+                tracked0, self.beta_tk, self.lambda_tk,
+                rep=REP_NUM_PRGLS, max_iteration=self.max_iteration)
+            inters, cs = jax.device_get((inters_dev, cs_dev))
+            member_frames.append(self._replay_rep_frames(
+                tracked0, m1, inters, cs))
+        from ..viz import ffn_prgls_grid
+        return ffn_prgls_grid(
+            member_frames, self.segresult.r_coordinates_segment,
+            member_labels=[f"from vol {sv}" for sv in source_vols],
+            path=path)
 
     def _get_cells_onBoundary(self, r_coords, ensemble):
         """tracker.py:1291-1308."""

@@ -294,6 +294,41 @@ def ffn_prgls_animation(rep_frames, seg_coords):
     return animation.ArtistAnimation(fig, artists, interval=200)
 
 
+def ffn_prgls_grid(member_frames, seg_coords, member_labels=None,
+                   path: Optional[str] = None):
+    """Static per-rep diagnostic grid of the 5-rep beta-annealed FFN +
+    PR-GLS prediction (the grid form of ``ffn_prgls_animation``;
+    tracker.py:265-279 draws these frames per rep): one row per ensemble
+    member (reference volume), one column per rep.  ``member_frames`` is
+    a list over members of per-rep (pre, post) coordinate pairs."""
+    seg = np.asarray(seg_coords)
+    n_mem = len(member_frames)
+    n_rep = max(len(f) for f in member_frames)
+    fig, axs = plt.subplots(n_mem, n_rep,
+                            figsize=(3.2 * n_rep, 3.2 * n_mem),
+                            squeeze=False)
+    for mi, frames in enumerate(member_frames):
+        for ri in range(n_rep):
+            ax = axs[mi, ri]
+            if ri >= len(frames):
+                ax.axis("off")
+                continue
+            pre, post = frames[ri]
+            plot_transformation_arrows(ax, np.asarray(pre), seg,
+                                       np.asarray(post))
+            ax.set_xticks([])
+            ax.set_yticks([])
+            if mi == 0:
+                ax.set_title(f"rep {ri + 1}", fontsize=9)
+            if ri == 0 and member_labels:
+                ax.set_ylabel(member_labels[mi], fontsize=9)
+    plt.tight_layout()
+    if path:
+        fig.savefig(path, bbox_inches="tight", facecolor="white")
+        plt.close(fig)
+    return fig
+
+
 def plot_transformation_arrows(ax, ref_ptrs, tgt_ptrs, predicted_ref_ptrs,
                                layercoord=False):
     """FFN + PR-GLS arrow plot for one iteration (track.py:412-471 /

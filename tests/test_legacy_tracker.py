@@ -149,6 +149,15 @@ def test_legacy_tracker_end_to_end(tmp_path):
     assert tracker_e.cells_on_boundary.sum() == 0
     assert "EnsembleDstrbtMode" in tracker_e.paths.track_results
 
+    # per-member x per-rep diagnostic grid (one row per reference volume)
+    import matplotlib
+    matplotlib.use("Agg")
+    grid_path = os.path.join(folder, "pred_grid.png")
+    fig = tracker_e.draw_prediction_grid(3, path=grid_path)
+    assert os.path.exists(grid_path)
+    import matplotlib.pyplot as plt
+    plt.close("all")
+
 
 def test_correction_render_transfer_dtypes():
     """``legacy_correction_and_render`` transfer slimming: the uint8 label

@@ -79,3 +79,17 @@ def test_draw_correction_and_overlapping(tmp_path):
     fig2 = viz.draw_overlapping(bg, lab0, lab1, z_xy_ratio=9.2,
                                 path=str(tmp_path / "ov.png"))
     assert (tmp_path / "ov.png").exists()
+
+
+def test_ffn_prgls_grid(tmp_path):
+    rng = np.random.RandomState(0)
+    ref = rng.rand(10, 3) * 50
+    tgt = ref + rng.randn(10, 3)
+    frames = [(ref, tgt), (tgt, ref)]
+    path = str(tmp_path / "grid.png")
+    fig = viz.ffn_prgls_grid([frames, frames], tgt,
+                             member_labels=["from vol 1", "from vol 2"],
+                             path=path)
+    assert (tmp_path / "grid.png").exists()
+    import matplotlib.pyplot as plt
+    plt.close("all")
