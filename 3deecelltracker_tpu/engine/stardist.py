@@ -699,7 +699,11 @@ def predict_and_save(images_path, model: StarDist3D,
                      prefetch_depth: int = 2,
                      batch_size: int = 4,
                      volumes=None,
-                     progress_cb=None) -> None:
+                     progress_cb=None,
+                     tile_shape=None,
+                     tile_candidates: int = 256,
+                     tile_batch: int = 8,
+                     shrink=None) -> None:
     """Segment every volume and persist seg/ artifacts
     (``stardistwrapper.predict_and_save`` :75-111): coords saved (y, x, z)
     -> the pipeline's (x, y, z) frame, prob_map transposed to (x, y, z).
@@ -714,6 +718,12 @@ def predict_and_save(images_path, model: StarDist3D,
     ``progress_cb``: optional ``cb(t)`` invoked (on a saver thread) after
     volume ``t``'s seg artifacts are fully written — the hand-off hook
     for the concurrent ``pipeline.segment_and_track`` driver.
+
+    ``tile_shape``: when set (e.g. ``(None, 256, 256)``), each volume is
+    segmented through :meth:`StarDist3D.predict_instances_tiled` instead
+    of the whole-volume fused program — the zebrafish-scale recording
+    driver (volumes too large for one device program).
+    ``tile_candidates``/``tile_batch``/``shrink`` pass through to it.
 
     Pipelined: input volumes prefetch on one thread (raw dtype, with the
     1/99.8 normalization percentiles computed there too — normalization
@@ -739,6 +749,10 @@ def predict_and_save(images_path, model: StarDist3D,
     def _load_raw(t):
         x = load_2d_slices_at_time(images_path, t=t, do_normalize=False)
         mi, ma = np.percentile(x, [1.0, 99.8])
+        if tile_shape is not None:
+            # tiled path: predict_instances_tiled pads + uploads the
+            # volume itself (device-resident tile slicing)
+            return x, float(mi), float(ma)
         # the h2d upload happens here ON the prefetch thread, overlapping
         # the (link-latency-bound) transfer with the previous volume's
         # dispatch and the saver's d2h
@@ -765,6 +779,28 @@ def predict_and_save(images_path, model: StarDist3D,
                                "auto_vol1_z%04i.tif")
         if progress_cb is not None:
             progress_cb(t)
+
+    if tile_shape is not None:
+        # zebrafish-scale recording driver: one tiled sweep per volume
+        # (device-resident tile slicing, batched dispatch/fetch inside
+        # predict_instances_tiled); the prefetch threads still overlap
+        # the TIFF decode + percentile scan with the device sweep
+        done_t = work[0] - 1
+        try:
+            for t, (x, mi, ma) in loader:
+                finalized = model.predict_instances_tiled(
+                    x, tile_shape=tile_shape, shrink=shrink,
+                    tile_candidates=tile_candidates,
+                    tile_batch=tile_batch,
+                    return_labels=(t == t_min), norm_minmax=(mi, ma))
+                _write_one(t, finalized)
+                done_t = t
+        except FileNotFoundError:
+            print(f"Warning: segmentation stopped; images at "
+                  f"t={done_t + 1} cannot be loaded!")
+        print(f"All images from t={work[0]} to t={done_t} "
+              "have been segmented")
+        return
 
     def saver():
         while True:

@@ -11,6 +11,11 @@ fits device memory.  This framework covers that scale two ways:
   ``jax.sharding.Mesh`` of all local devices; candidates merge globally.
   On an N-chip slice the wall-clock divides by ~N.
 
+For a whole RECORDING at this scale, pass ``tile_shape=`` to
+``engine.stardist.predict_and_save`` — it drives the tiled path per
+volume with prefetched decoding and writes the standard ``seg/``
+artifacts for ``track_timelapse``.
+
 Run (defaults are zebrafish-class (64, 512, 512)):
   python examples/segment_large_volume.py
   python examples/segment_large_volume.py --sharded --cpu-mesh 8 \

@@ -253,3 +253,44 @@ def test_tpu_arch_honors_n_conv_per_depth():
     cfg2 = StarDistConfig(**{**cfg3.__dict__, "unet_n_conv_per_depth": 2})
     assert all(a > b for a, b in zip(net.receptive_field(),
                                      StarDist3DNet(cfg2).receptive_field()))
+
+
+def test_predict_and_save_tiled_recording(tmp_path, small_model):
+    """``tile_shape=`` drives each volume through the tiled path (the
+    zebrafish-scale recording driver): artifacts exist for every volume
+    and the detected coordinate sets match the whole-volume driver
+    (sub-RF shrink -> minor boundary-context differences allowed in
+    prob, but candidate centers on this scene must agree)."""
+    from t3dct.io.imageio import save_label_slices
+
+    rng = np.random.RandomState(7)
+    raw_dir = tmp_path / "raw"
+    for t in range(1, 4):
+        vol = np.zeros((8, 48, 48), np.float32)
+        for cx, cy in ((12, 12), (12, 36), (36, 24)):
+            zz, yy, xx = np.mgrid[:8, :48, :48]
+            d2 = ((zz - 4) * 2.0) ** 2 + (yy - cy + t) ** 2 + \
+                (xx - cx) ** 2
+            vol += 40000 * np.exp(-d2 / 12.0)
+        save_label_slices(vol.astype(np.uint16).transpose(1, 2, 0),
+                          raw_dir, "raw_t%03i_z%04i.tif", t,
+                          use_8_bit=False, compression=None)
+    images_path = str(raw_dir / "raw_t%03i_z*.tif")
+
+    predict_and_save(images_path, small_model, tmp_path / "whole")
+    predict_and_save(images_path, small_model, tmp_path / "tiled",
+                     tile_shape=(None, 32, 32), shrink=(0, 8, 8),
+                     tile_batch=2)
+
+    for t in range(1, 4):
+        cw = np.load(tmp_path / "whole" / "seg" / ("coords%06d.npy" % t))
+        ct = np.load(tmp_path / "tiled" / "seg" / ("coords%06d.npy" % t))
+        assert len(cw) > 0 and abs(len(ct) - len(cw)) <= 2
+        # same centers (order may differ); the sub-RF shrink allows a few
+        # boundary-context differences (docstring caveat), so require a
+        # large-majority agreement rather than a bijection
+        d = np.linalg.norm(cw[:, None] - ct[None, :], axis=2)
+        assert (d.min(axis=1) <= 2.0).mean() >= 0.9
+    assert (tmp_path / "tiled" / "auto_vol1").exists()
+    pt = np.load(tmp_path / "tiled" / "seg" / "prob000001.npy")
+    assert pt.dtype == np.float32 and pt.ndim == 3
