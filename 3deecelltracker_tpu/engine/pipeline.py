@@ -366,6 +366,12 @@ def track_timelapse(results_dir: Union[str, Path],
                 # device fan-out over reference volumes with in-memory
                 # confirmed coordinates (the disk-reading reference variant
                 # would race with the async writer)
+                if volume_ready is not None:
+                    # the main loop reads seg/coords for t2 directly below
+                    # (the single-mode loop only reads through the gated
+                    # prefetcher) — block until the concurrent segmenter
+                    # has written volume t2's artifacts
+                    volume_ready(t2)
                 from ..parallel.ensemble import (ensemble_track_step,
                                                  make_sharded_ensemble_members,
                                                  pad_members)
@@ -405,6 +411,8 @@ def track_timelapse(results_dir: Union[str, Path],
                         jnp.stack(mask1s),
                         seg2, mask2, beta=config.beta,
                         lambda_=config.lambda_,
+                        k_points=config.k_neighbors,
+                        max_iteration=config.max_iteration,
                         trim_proportion=config.trim_proportion,
                         m_step_refine=config.m_step_refine)
                 pred = Coordinates.from_real(

@@ -387,7 +387,9 @@ class StarDist3D:
         if fn is not None:
             return fn
         rays, render_box = self.rays, self.render_box
-        u16 = self.max_candidates < 65536
+        # label ids are ranks over the k concatenated candidates (not over
+        # self.max_candidates), so the lossless-uint16 guard must test k
+        u16 = k < 65536
 
         @jax.jit
         def combine(probs, dists, points, valid, nms_thresh):
@@ -786,18 +788,27 @@ def predict_and_save(images_path, model: StarDist3D,
         # predict_instances_tiled); the prefetch threads still overlap
         # the TIFF decode + percentile scan with the device sweep
         done_t = work[0] - 1
-        try:
-            for t, (x, mi, ma) in loader:
-                finalized = model.predict_instances_tiled(
-                    x, tile_shape=tile_shape, shrink=shrink,
-                    tile_candidates=tile_candidates,
-                    tile_batch=tile_batch,
-                    return_labels=(t == t_min), norm_minmax=(mi, ma))
-                _write_one(t, finalized)
-                done_t = t
-        except FileNotFoundError:
-            print(f"Warning: segmentation stopped; images at "
-                  f"t={done_t + 1} cannot be loaded!")
+        it = iter(loader)
+        while True:
+            # the FileNotFoundError handler must cover ONLY the image
+            # load (end-of-recording semantics) — a write failure inside
+            # _write_one must propagate, not be misreported as a missing
+            # input image (same reasoning as the batched loop below)
+            try:
+                t, (x, mi, ma) = next(it)
+            except StopIteration:
+                break
+            except FileNotFoundError:
+                print(f"Warning: segmentation stopped; images at "
+                      f"t={done_t + 1} cannot be loaded!")
+                break
+            finalized = model.predict_instances_tiled(
+                x, tile_shape=tile_shape, shrink=shrink,
+                tile_candidates=tile_candidates,
+                tile_batch=tile_batch,
+                return_labels=(t == t_min), norm_minmax=(mi, ma))
+            _write_one(t, finalized)
+            done_t = t
         print(f"All images from t={work[0]} to t={done_t} "
               "have been segmented")
         return

@@ -15,9 +15,16 @@ tiled; each program DMAs its (3, TY+2, X+2, C) halo window from the
 HBM-resident padded input, accumulates 9 patch matmuls, applies
 bias/ReLU, and writes one (TY, X, C_out) output tile.
 
-Used by ``models/layers.py conv3d(..., impl="pallas")`` when enabled;
-falls back to interpret mode off-TPU (tests compare against
-lax.conv_general_dilated bit-for-float).
+STATUS: experimental, NOT wired into any model path.  The current
+Mosaic-on-TPU toolchain rejects the forms this kernel needs (HBM DMA
+slices must be 128-aligned on the minor dim — "Slice shape along
+dimension 3 must be aligned to tiling (128), but is 32" — and the
+folded-minor-dim workaround hits "infer-vector-layout: unsupported
+shape cast"; every real-TPU compile in
+scripts/pallas_conv_profile.json failed accordingly).  The kernel and
+its CPU-interpret parity test (tests/test_backbone_variants.py, bit-
+for-float vs lax.conv_general_dilated) are kept for a future
+toolchain; wire it up only after a compiled run passes on TPU.
 """
 
 from __future__ import annotations

@@ -244,10 +244,14 @@ def bench_overlapped(images_path, results: Path, seg_results: Path,
                 watermark[0] += 1
             lock.notify_all()
 
+    seg_errors: list = []
+
     def seg_thread():
         try:
             predict_and_save(images_path, model, seg_results,
                              progress_cb=progress)
+        except Exception as e:       # surfaced after join: a failed seg
+            seg_errors.append(e)     # pass must invalidate the benchmark
         finally:
             with lock:
                 watermark[0] = N_VOLS
@@ -267,6 +271,8 @@ def bench_overlapped(images_path, results: Path, seg_results: Path,
         config=TrackingConfig(beta=3.0, lambda_=3.0),
         verbose=False, volume_ready=volume_ready)
     th.join()
+    if seg_errors:
+        raise seg_errors[0]
     return (time.perf_counter() - t0) / N_VOLS
 
 
