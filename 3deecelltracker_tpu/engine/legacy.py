@@ -751,12 +751,37 @@ class Tracker:
         t[:, 2] *= self.z_scaling / self.z_xy_ratio
         return np.nanmax(np.abs(t)) < 0.5
 
-    def _accurate_correction(self, cells_on_boundary_local,
-                             r_coor_predicted):
+    def _seed_displacements(self, r_coor_predicted):
+        """Displacement seed from the prediction (tracker.py:1496-1500):
+        accumulated real displacement plus this volume's predicted move,
+        rounded to the interpolated-image integer grid."""
         r_disp = self.history.r_displacements[-1] + \
             (r_coor_predicted - self.history.r_tracked_coordinates[-1])
         i_disp = np.rint(r_disp * np.array(
-            [1, 1, self.z_scaling / self.z_xy_ratio])).astype(int)
+            [1, 1, self.z_scaling / self.z_xy_ratio])).astype(np.int32)
+        return r_disp, i_disp
+
+    def _dispatch_fused_correction(self, r_coor_predicted, include,
+                                   render=True, labels_u8=False):
+        """Seed + ONE fused correction/render dispatch (shared by
+        :meth:`match` and :meth:`track_one_vol`): replaces the <=20 x
+        (paste + center-of-mass) round trips of tracker.py:1177-1413.
+        The weight map rides h2d as f16 (accumulation is f32 on device).
+        Returns device handles."""
+        _, i_disp0 = self._seed_displacements(r_coor_predicted)
+        weights = np.asarray(
+            self.segresult.image_cell_bg + self.segresult.image_gcn,
+            np.float16)
+        return legacy_correction_and_render(
+            self.atlas, weights, i_disp0, include,
+            np.asarray(self.r_coordinates_tracked_t0, np.float32),
+            self.z_xy_ratio, self.z_scaling,
+            max_repetition=REP_NUM_CORRECTION, render=render,
+            labels_u8=labels_u8, **self._paste_kwargs)
+
+    def _accurate_correction(self, cells_on_boundary_local,
+                             r_coor_predicted):
+        _, i_disp = self._seed_displacements(r_coor_predicted)
         for i in range(REP_NUM_CORRECTION):
             r_disp, i_disp, corr = self._correction_once_interp(
                 i_disp, cells_on_boundary_local)
@@ -819,19 +844,8 @@ class Tracker:
                                               self.ensemble)
         local = self.cells_on_boundary.copy()
         local[cells_bd] = 1
-        r_disp0 = self.history.r_displacements[-1] + (
-            r_coor_predicted - self.history.r_tracked_coordinates[-1])
-        i_disp0 = np.rint(r_disp0 * np.array(
-            [1, 1, self.z_scaling / self.z_xy_ratio])).astype(np.int32)
-        weights = np.asarray(
-            self.segresult.image_cell_bg + self.segresult.image_gcn,
-            np.float16)
-        _, i_disp_dev, _ = legacy_correction_and_render(
-            self.atlas, weights, i_disp0, (local == 0),
-            np.asarray(self.r_coordinates_tracked_t0, np.float32),
-            self.z_xy_ratio, self.z_scaling,
-            max_repetition=REP_NUM_CORRECTION, render=False,
-            **self._paste_kwargs)
+        _, i_disp_dev, _ = self._dispatch_fused_correction(
+            r_coor_predicted, (local == 0), render=False)
         i_disp = np.asarray(jax.device_get(i_disp_dev))
         print(f"Matching between vol 1 and vol {target_volume} was "
               "computed")
@@ -905,26 +919,10 @@ class Tracker:
         cells_bd = self._get_cells_onBoundary(r_coor_mean, self.ensemble)
         self.cells_on_boundary[cells_bd] = 1
 
-        # fused correction + render: one dispatch + one fetch replace the
-        # <=20 x (paste + center-of-mass) round trips of tracker.py:1177
-        r_disp0 = self.history.r_displacements[-1] + (
-            r_coor_mean - self.history.r_tracked_coordinates[-1])
-        i_disp0 = np.rint(r_disp0 * np.array(
-            [1, 1, self.z_scaling / self.z_xy_ratio])).astype(np.int32)
-        # both volume-sized transfers slimmed for the remote link: the
-        # weight map rides h2d as f16 (accumulation is f32 on device) and
-        # the rendered labels ride d2h as uint8 when ids fit
-        weights = np.asarray(
-            self.segresult.image_cell_bg + self.segresult.image_gcn,
-            np.float16)
-        include = (self.cells_on_boundary == 0)
-        u8 = bool(self.cell_num_t0 <= 255)
-        r_disp_dev, i_disp_dev, labels_dev = legacy_correction_and_render(
-            self.atlas, weights, i_disp0, include,
-            np.asarray(self.r_coordinates_tracked_t0, np.float32),
-            self.z_xy_ratio, self.z_scaling,
-            max_repetition=REP_NUM_CORRECTION, labels_u8=u8,
-            **self._paste_kwargs)
+        # rendered labels ride d2h as uint8 when ids fit
+        r_disp_dev, i_disp_dev, labels_dev = self._dispatch_fused_correction(
+            r_coor_mean, (self.cells_on_boundary == 0),
+            labels_u8=bool(self.cell_num_t0 <= 255))
         r_disp, i_disp, labels = jax.device_get(
             (r_disp_dev, i_disp_dev, labels_dev))
         r_disp = np.asarray(r_disp, np.float64)

@@ -142,6 +142,8 @@ def segment_and_track(images_path, model,
                 watermark[0] += 1
             done_lock.notify_all()
 
+    seg_done = [False]
+
     def seg_thread():
         try:
             predict_and_save(images_path, model, results_dir,
@@ -150,14 +152,26 @@ def segment_and_track(images_path, model,
         except Exception as e:          # surface on the tracking side
             seg_error.append(e)
         with done_lock:
-            watermark[0] = max(watermark[0], t_max)
+            seg_done[0] = True
             done_lock.notify_all()
 
     def volume_ready(t):
+        # NOTE: a finished segmenter does NOT imply volume t exists —
+        # predict_and_save stops early (with a warning, reference
+        # end-of-recording semantics) when raw images go missing
+        # mid-recording; report the truncation instead of letting
+        # tracking crash on the absent seg artifacts
         with done_lock:
-            done_lock.wait_for(lambda: watermark[0] >= t or seg_error)
+            done_lock.wait_for(
+                lambda: watermark[0] >= t or seg_done[0] or seg_error)
+            reached = watermark[0]
         if seg_error:
             raise RuntimeError("segmentation failed") from seg_error[0]
+        if reached < t:
+            raise RuntimeError(
+                f"segmentation ended at t={reached} before volume {t} "
+                f"(raw images missing from the recording?); tracking "
+                f"cannot continue")
 
     th = threading.Thread(target=seg_thread, daemon=True)
     th.start()
@@ -373,7 +387,6 @@ def track_timelapse(results_dir: Union[str, Path],
                     # has written volume t2's artifacts
                     volume_ready(t2)
                 from ..parallel.ensemble import (ensemble_track_step,
-                                                 make_sharded_ensemble_members,
                                                  pad_members)
                 from ..ops.trim import trim_mean
                 t1s = get_volumes_list(t2, tracker.miss_frame,

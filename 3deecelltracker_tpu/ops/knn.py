@@ -73,15 +73,24 @@ def knn_feature_vectors(points: jax.Array, mask: jax.Array, k: int = 20
     mean distance.
 
     points: (n, 3) (normalized frame), mask: (n,).  Returns (n, 3k+1).
-    Point sets smaller than k+1 use all available neighbors; missing
-    neighbor slots are zero.
+    Point sets with fewer than k+1 VALID points use all available valid
+    neighbors; missing neighbor slots are zero and excluded from the mean
+    distance.  (The reference errors outright below k+1 points — sklearn
+    refuses n_neighbors > n_samples — so this graceful tail has no
+    reference counterpart; the masked handling matters because padded
+    fixed-shape sets would otherwise pick the 1e6-coordinate parked
+    padding points as neighbors and corrupt EVERY point's features.)
     """
     kk = min(k + 1, points.shape[0])
     dists, idx = knn(points, mask, kk)
-    mean_dist = jnp.mean(dists, axis=1)                      # (n,)
+    nb_valid = mask[idx]                                     # (n, kk)
+    dists = jnp.where(nb_valid, dists, 0.0)
+    n_nb = jnp.maximum(jnp.sum(nb_valid, axis=1), 1)
+    mean_dist = jnp.sum(dists, axis=1) / n_nb                # (n,)
     self_pt = points[idx[:, 0]]                              # == points row
     neighbors = points[idx[:, 1:]]                           # (n, kk-1, 3)
-    rel = (neighbors - self_pt[:, None, :]) / mean_dist[:, None, None]
+    rel = (neighbors - self_pt[:, None, :]) * nb_valid[:, 1:, None] \
+        / jnp.maximum(mean_dist, 1e-12)[:, None, None]
     rel_flat = rel.reshape(points.shape[0], 3 * (kk - 1))
     if kk - 1 < k:
         rel_flat = jnp.pad(rel_flat, ((0, 0), (0, 3 * (k - kk + 1))))

@@ -61,6 +61,33 @@ def test_knn_feature_vectors_masked_padding_invariant():
     assert np.all(padded[30:] == 0)
 
 
+def test_knn_feature_vectors_few_valid_points():
+    """Regression: with FEWER VALID points than k+1 in a padded set, the
+    parked 1e6-coordinate padding points must not leak into the neighbor
+    offsets or the mean distance — features must equal the unpadded
+    (static-shape < k+1) computation, which uses all available valid
+    neighbors and zeros the missing slots."""
+    k = 20
+    n_valid = 10                       # < k+1 = 21
+    pts = _points(n_valid, 13, scale=1.0)
+    mask = np.ones(n_valid, bool)
+    want = np.asarray(knn_feature_vectors(pts, mask, k))
+
+    padded_pts = np.vstack(
+        [pts, np.full((502, 3), 1e6, np.float32)])   # parked padding
+    padded_mask = np.concatenate([mask, np.zeros(502, bool)])
+    got = np.asarray(knn_feature_vectors(padded_pts, padded_mask, k))
+
+    np.testing.assert_allclose(got[:n_valid], want, rtol=1e-5, atol=1e-6)
+    assert np.all(got[n_valid:] == 0)
+    assert np.all(np.isfinite(got))
+    # the mean-distance feature must reflect only the valid neighbors
+    nn = NearestNeighbors(n_neighbors=n_valid).fit(pts)
+    d, _ = nn.kneighbors(pts)
+    np.testing.assert_allclose(got[:n_valid, 3 * k], d.mean(axis=1),
+                               rtol=1e-4)
+
+
 # ---- normalize_points --------------------------------------------------------
 
 def test_normalize_points_vs_sklearn():

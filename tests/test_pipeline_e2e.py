@@ -184,6 +184,51 @@ def test_segment_and_track_concurrent(tmp_path):
 
 
 @pytest.mark.slow
+def test_segment_and_track_truncated_recording(tmp_path):
+    """Regression: when raw images go missing mid-recording,
+    predict_and_save stops early with a warning (reference
+    end-of-recording semantics) — the concurrent driver must then report
+    the truncation as a clear RuntimeError instead of unblocking tracking
+    into volumes whose seg artifacts were never written (which crashed
+    with a bare FileNotFoundError deep in the prefetcher)."""
+    import jax
+    from t3dct.engine.pipeline import segment_and_track
+    from t3dct.engine.stardist import StarDist3D
+
+    raw_dir = tmp_path / "raw"
+    results = tmp_path / "results"
+    for t in (1, 2):                       # t=3..4 missing from disk
+        img, lab, _ = _volume_at(t)
+        img16 = (img / img.max() * 40000).astype(np.uint16)
+        save_label_slices(img16.transpose(1, 2, 0), raw_dir,
+                          "raw_t%03i_z%04i.tif", t, use_8_bit=False,
+                          compression=None)
+    _, lab1, _ = _volume_at(1)
+    save_label_slices(lab1.transpose(1, 2, 0), results / "manual_vol1",
+                      "manual_vol1_z%04i_t%04i.tif", 0, use_8_bit=True,
+                      compression=None)
+
+    cfg = StarDistConfig(n_rays=8, grid=(1, 2, 2),
+                         anisotropy=(Z_RATIO, 1.0, 1.0), unet_n_depth=1,
+                         unet_n_filter_base=4, net_conv_after_unet=8,
+                         train_patch_size=SHAPE_ZYX, prob_thresh=0.6)
+    model = StarDist3D(cfg, max_candidates=16, render_box=(5, 9, 9),
+                       rng=jax.random.PRNGKey(0))
+    from t3dct.models.ffn import FFN
+    ffn_w = FFN().init(jax.random.PRNGKey(1))
+
+    with pytest.raises(RuntimeError, match="segmentation ended at t=2"):
+        segment_and_track(
+            str(raw_dir / "raw_t%03i_z*.tif"), model, results,
+            str(results / "manual_vol1" / "*.tif"), ffn_w,
+            voxel_size=(1, 1, Z_RATIO), interpolation_factor=2,
+            t_range=(1, 4),
+            config=TrackingConfig(beta=10.0, lambda_=3.0,
+                                  max_iteration=50),
+            verbose=False)
+
+
+@pytest.mark.slow
 def test_segment_and_track_concurrent_ensemble(tmp_path):
     """Ensemble mode reads seg coords for the TARGET volume directly on
     the main loop (not through the gated prefetcher) — the concurrent
