@@ -127,14 +127,18 @@ def test_legacy_tracker_end_to_end(tmp_path):
                                        "t000002.npy"))
 
     # ---- ensemble mode over the same data/models (trim-mean fan-in,
-    # per-volume boundary reset, EnsembleDstrbtMode results dir)
+    # per-volume boundary reset, EnsembleDstrbtMode results dir).
+    # ensemble=3 with only 2 available reference volumes at t=3 also
+    # exercises the padded member axis (members replicated to the
+    # constant configured size, trim-mean over the REAL members only —
+    # the ramp every 20-member worm4-style run goes through)
     tracker_e = Tracker(
         volume_num=3, siz_xyz=SHAPE, z_xy_ratio=Z_XY_RATIO,
         z_scaling=Z_SCALING, noise_level=20, min_size=20,
         beta_tk=50.0, lambda_tk=0.1, maxiter_tk=10,
         folder_path=folder, image_name="raw_t%03i_z%03i.tif",
         unet_model_file="unet.npz", ffn_model_file="ffn.npz",
-        shrink=(4, 4, 2), max_cells=64, ensemble=2)
+        shrink=(4, 4, 2), max_cells=64, ensemble=3)
     tracker_e.load_unet_arrays(model, trainer.params, trainer.bn_state)
     tracker_e.load_ffn_arrays(ffn_tr.params, ffn_tr.bn_state)
     tracker_e.segment_vol1()
