@@ -77,6 +77,11 @@ class StarDist3D:
         cfg = dict(dataclasses.asdict(self.config), arch=self.arch)
         with open(model_dir / "config.json", "w") as fh:
             json.dump(cfg, fh, indent=2)
+        # persist optimized thresholds (the reference's stardist-0.8
+        # folders carry the same file, stardistwrapper.py:39-43) — without
+        # it an optimize_thresholds result dies with the process
+        with open(model_dir / "thresholds.json", "w") as fh:
+            json.dump(self._thresholds, fh)
 
     @staticmethod
     def load(model_dir: Union[str, Path]) -> "StarDist3D":
@@ -92,6 +97,9 @@ class StarDist3D:
         config = StarDistConfig(**raw)
         model = StarDist3D(config, arch=arch)
         model.params = load_pytree(model.params, model_dir / "weights.npz")
+        if (model_dir / "thresholds.json").exists():
+            with open(model_dir / "thresholds.json") as fh:
+                model._thresholds = json.load(fh)
         return model
 
     # ---- prediction --------------------------------------------------------

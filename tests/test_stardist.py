@@ -173,8 +173,17 @@ def test_configure_heuristics():
 
 
 def test_model_save_load_roundtrip(tmp_path, small_model):
-    small_model.save(tmp_path / "m")
+    # optimized thresholds must survive the save/load round trip
+    # (optimize_thresholds sets them; the reference's model folders
+    # persist them in thresholds.json, stardistwrapper.py:39-43)
+    orig = small_model._thresholds       # module-scoped fixture: restore
+    try:
+        small_model._thresholds = dict(prob=0.62, nms=0.41)
+        small_model.save(tmp_path / "m")
+    finally:
+        small_model._thresholds = orig
     loaded = StarDist3D.load(tmp_path / "m")
+    assert loaded._thresholds == dict(prob=0.62, nms=0.41)
     x = np.random.RandomState(1).rand(8, 32, 32).astype(np.float32)
     p1 = small_model.predict_sparse(x)[4]
     p2 = loaded.predict_sparse(x)[4]
