@@ -90,6 +90,19 @@ def test_unet_training_reduces_loss(tmp_path):
     tr.select_weights(1)
     assert (tmp_path / "models" / "unet3_pretrained.npz").exists()
 
+    # the notebook-facing inspection figures (train_unet.ipynb /
+    # reference unet3d.py draw_* methods) must render on Agg
+    import matplotlib
+    matplotlib.use("Agg")
+    tr.draw_dataset(path=tmp_path / "ds.png")
+    tr.draw_norm_dataset(path=tmp_path / "norm.png")
+    tr.draw_divided_train_data(n=4, path=tmp_path / "div.png")
+    tr.draw_prediction(path=tmp_path / "pred.png")
+    for f in ("ds.png", "norm.png", "div.png", "pred.png"):
+        assert (tmp_path / f).exists()
+    import matplotlib.pyplot as plt
+    plt.close("all")
+
 
 @pytest.mark.slow
 def test_unet_training_sharded_matches_local(tmp_path):
