@@ -829,6 +829,68 @@ class Tracker:
             self.segmentation_manual_relabels, self.tracked_labels,
             z_xy_ratio=self.z_xy_ratio, volume2=volume2)
 
+    def draw_segresult(self, percentile_high=99.9):
+        """Raw image / U-Net cell regions / auto segmentation as a per-z
+        animation, leaving the max projections on the figure
+        (tracker.py:212-252)."""
+        import matplotlib.pyplot as plt
+        from matplotlib import animation
+
+        from ..viz import lbl_cmap
+        s = self.segresult
+        fig, axs = plt.subplots(1, 3, figsize=(21, 7))
+        axs[0].set_title("Raw image (gcn)")
+        axs[1].set_title("Cell regions by U-Net")
+        axs[2].set_title("Auto-segmentation")
+        gcn = np.asarray(s.image_gcn)
+        regions = np.asarray(s.image_cell_bg) > 0.5
+        auto = np.asarray(s.segmentation_auto).astype(np.int64)
+        vmax = np.percentile(gcn, percentile_high)
+        vmin = np.percentile(gcn, 10)
+        ncol = len(lbl_cmap.colors)
+        frames = []
+        for z in range(self.z_siz):
+            o1 = axs[0].imshow(gcn[:, :, z], vmin=vmin, vmax=vmax,
+                               cmap="gray", animated=True)
+            o2 = axs[1].imshow(regions[:, :, z], cmap="gray", animated=True)
+            o3 = axs[2].imshow(auto[:, :, z] % ncol, cmap=lbl_cmap,
+                               interpolation="none", animated=True)
+            frames.append([o1, o2, o3])
+        anim = animation.ArtistAnimation(fig, frames, interval=200)
+        axs[0].imshow(np.max(gcn, axis=2), vmin=vmin, vmax=vmax,
+                      cmap="gray")
+        axs[1].imshow(np.max(regions, axis=2), cmap="gray")
+        axs[2].imshow(np.max(auto, axis=2) % ncol, cmap=lbl_cmap,
+                      interpolation="none")
+        print("Segmentation results (max projection):")
+        return anim
+
+    def draw_manual_seg1(self):
+        """U-Net cell regions vs the interpolated manual segmentation,
+        max projection (tracker.py:254-262).  Run after
+        :meth:`interpolate_seg`."""
+        import matplotlib.pyplot as plt
+
+        from ..viz import lbl_cmap
+        fig, ax = plt.subplots(1, 2, figsize=(14, 7))
+        ax[0].imshow(np.max(np.asarray(self.segresult.image_cell_bg),
+                            axis=2) > 0.5, cmap="gray")
+        ax[0].set_title("Cell regions by U-Net")
+        ncol = len(lbl_cmap.colors)
+        ax[1].imshow(np.max(self.segmentation_manual_relabels.astype(
+            np.int64), axis=2) % ncol, cmap=lbl_cmap, interpolation="none")
+        ax[1].set_title("Interpolated manual segmentation at vol 1")
+        return fig
+
+    def subplots_tracking(self):
+        """(3, 2) tracking-process figure layout (tracker.py:430-441)."""
+        import matplotlib.pyplot as plt
+        fig, axs = plt.subplots(
+            3, 2, figsize=(14, max(int(21 * self.x_siz / self.y_siz), 7)))
+        ax = (axs[0, 0], axs[0, 1], axs[1, 0], axs[1, 1],
+              axs[2, 0], axs[2, 1])
+        return fig, ax
+
     # ---- public tracking API --------------------------------------------------
     def match(self, target_volume: int, method="min_size", segresult=None):
         """tracker.py:1138-1175.  ``segresult`` injects a precomputed

@@ -104,6 +104,16 @@ def test_legacy_tracker_end_to_end(tmp_path):
     assert tracker.segresult.segmentation_auto.max() >= 3
     tracker.load_manual_seg()
     tracker.interpolate_seg()
+    # notebook-facing inspection figures (tracker.py:212-262, 430-441)
+    import matplotlib
+    matplotlib.use("Agg")
+    anim_seg = tracker.draw_segresult(percentile_high=99.8)
+    assert anim_seg is not None
+    tracker.draw_manual_seg1()
+    fig_tk, ax_tk = tracker.subplots_tracking()
+    assert len(ax_tk) == 6
+    import matplotlib.pyplot as plt
+    plt.close("all")
     assert tracker.cell_num_t0 == 4
     tracker.cal_subregions()
     tracker.initiate_tracking()
