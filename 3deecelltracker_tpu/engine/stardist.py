@@ -188,7 +188,8 @@ class StarDist3D:
                      & (points[:, 1] < orig_shape[1])
                      & (points[:, 2] < orig_shape[2]))
             centers = points.astype(jnp.float32)
-            overlaps = overlap_matrix(centers, dists, rays, valid)
+            overlaps = overlap_matrix(centers, dists, rays, valid,
+                                      prob=probs)
             kept = greedy_nms(probs, overlaps, valid, nms_thresh)
             out = (kept, probs, dists, points, prob_map)
             if return_labels:
@@ -402,7 +403,8 @@ class StarDist3D:
         @jax.jit
         def combine(probs, dists, points, valid, nms_thresh):
             centers = points.astype(jnp.float32)
-            overlaps = overlap_matrix(centers, dists, rays, valid)
+            overlaps = overlap_matrix(centers, dists, rays, valid,
+                                      prob=probs)
             kept = greedy_nms(probs, overlaps, valid, nms_thresh)
             if return_labels:
                 labels = render_polyhedra_labels(

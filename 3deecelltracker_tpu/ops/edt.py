@@ -114,13 +114,16 @@ def _binary_pass_scan(mask: jax.Array, axis: int, w: float) -> jax.Array:
     return jnp.transpose(fsq, inv_perm)
 
 
-_ENV_BIG = 1e9   # finite "infinity" for the envelope pass: large enough
-                 # to dominate any achievable d^2 (<= (L*w)^2), small
-                 # enough that f32 squares/divisions never overflow
+_ENV_BIG = 1e9   # default finite "infinity" for the envelope pass; the
+                 # caller passes an adaptive cap when the achievable d^2
+                 # bound (sum over axes of (L_i*w_i)^2) approaches it —
+                 # a fixed 1e9 silently clamped genuinely large finite
+                 # distances (L*w > ~22k, e.g. huge volumes or coarse
+                 # physical sampling) that the dense pass handles
 
 
-def _minplus_pass_envelope(fsq: jax.Array, axis: int, w: float
-                           ) -> jax.Array:
+def _minplus_pass_envelope(fsq: jax.Array, axis: int, w: float,
+                           env_big: float = _ENV_BIG) -> jax.Array:
     """Exact lower-envelope (Felzenszwalb-Huttenlocher) pass: O(L)
     amortized work per line instead of the dense O(L^2) broadcast
     (VERDICT r2 #6; the reference leans on scipy's C implementation,
@@ -140,7 +143,8 @@ def _minplus_pass_envelope(fsq: jax.Array, axis: int, w: float
     x = jnp.transpose(fsq, perm)
     batch_shape = x.shape[:-1]
     L = x.shape[-1]
-    f = jnp.minimum(x.reshape(-1, L), _ENV_BIG)
+    env_big = np.float32(env_big)
+    f = jnp.minimum(x.reshape(-1, L), env_big)
     B = f.shape[0]
     w2 = np.float32(w * w)
     rows = jnp.arange(B)
@@ -208,7 +212,7 @@ def _minplus_pass_envelope(fsq: jax.Array, axis: int, w: float
     _, out_cols = jax.lax.scan(query_step, jnp.zeros((B,), jnp.int32),
                                jnp.arange(L, dtype=jnp.float32))
     out = out_cols.T.reshape(batch_shape + (L,))
-    out = jnp.where(out > _ENV_BIG / 2, _INF, out)
+    out = jnp.where(out > env_big / 2, _INF, out)
     return jnp.transpose(out, inv_perm)
 
 
@@ -251,7 +255,13 @@ def distance_transform_edt(mask: jax.Array,
         elif window is not None:
             fsq = _minplus_pass_windowed(fsq, axis, w, window)
         elif method == "envelope":
-            fsq = _minplus_pass_envelope(fsq, axis, w)
+            # adaptive sentinel: must dominate the max achievable d^2
+            # (sum over axes of ((L_i - 1) * w_i)^2) or large finite
+            # distances would clamp/saturate where the dense pass is exact
+            bound = sum(((n - 1) * s) ** 2
+                        for n, s in zip(mask.shape, sampling))
+            fsq = _minplus_pass_envelope(
+                fsq, axis, w, env_big=max(_ENV_BIG, 16.0 * bound))
         else:
             fsq = _minplus_pass(fsq, axis, w)
     return jnp.sqrt(fsq)

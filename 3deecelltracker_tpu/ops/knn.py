@@ -34,9 +34,12 @@ def knn(points: jax.Array, mask: jax.Array, k: int
     """k nearest neighbors of each point within the same (masked) set,
     including the point itself as neighbor 0.
 
-    Returns (distances (n, k), indices (n, k)) sorted ascending.
-    Invalid points are never returned as neighbors; rows for invalid query
-    points contain garbage (mask downstream).
+    Returns (distances, indices) of shape (n, min(k, n)) sorted
+    ascending — when the STATIC set size n is smaller than k the result
+    has n columns, not k (callers pad, see ``knn_feature_vectors``).
+    When fewer than k points are VALID, the remaining columns hold
+    masked points (distance sqrt(1e10)) — filter with ``mask[idx]``.
+    Rows for invalid query points contain garbage (mask downstream).
     """
     d2 = pairwise_sq_dists(points, points)
     d2 = jnp.where(mask[None, :], d2, _BIG)

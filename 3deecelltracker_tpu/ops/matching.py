@@ -34,7 +34,11 @@ def _peel_loop(match_matrix: jax.Array, threshold: float
 
     def cond(carry):
         mat, pairs, count = carry
-        return jnp.max(mat) >= threshold
+        mx = jnp.max(mat)
+        # acceptance below additionally requires mat > 0, so a
+        # threshold <= 0 with an all-non-positive remainder must also
+        # stop — otherwise the device-side loop never terminates
+        return (mx >= threshold) & (mx > 0)
 
     def body(carry):
         mat, pairs, count = carry

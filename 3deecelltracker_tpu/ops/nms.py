@@ -91,12 +91,19 @@ def _membership_fraction(points: jax.Array, centers: jax.Array,
 def overlap_matrix(centers: jax.Array, dists: jax.Array, rays: jax.Array,
                    valid: jax.Array, n_samples: int = 32,
                    n_fracs: int = 4,
-                   neighbor_limit: int = 32) -> jax.Array:
+                   neighbor_limit: int = 32,
+                   prob=None) -> jax.Array:
     """(k, k) overlap[i, j] ≈ |P_i ∩ P_j| / |P_j| via quasi-MC sampling.
 
     ``neighbor_limit`` > 0 restricts the membership tests to each
-    candidate's M nearest candidates (overlap needs proximity; everything
-    farther is exactly 0) — k·M instead of k² tests.  0 = dense.
+    candidate's M NEAREST candidates — k·M instead of k² tests.  0 =
+    dense.  NOTE this is a count cap, not a distance cutoff: in a
+    cluster with more than M candidates the suppressing (kept) candidate
+    can fall outside a far-edge candidate's M nearest, leaving
+    overlap[kept, j] = 0 and greedy NMS keeping a duplicate instance.
+    Passing ``prob`` closes that hole: each candidate is ALSO tested
+    against the M highest-probability candidates (greedy NMS keeps in
+    descending prob, so suppressors are prob-toppers) — still O(k·M).
     """
     k = centers.shape[0]
     dirs = jnp.asarray(sample_directions_fibonacci(n_samples))  # (s, 3)
@@ -114,14 +121,20 @@ def overlap_matrix(centers: jax.Array, dists: jax.Array, rays: jax.Array,
         d2 = jnp.sum((centers[:, None, :] - centers[None, :, :]) ** 2, -1)
         d2 = jnp.where(valid[None, :], d2, jnp.inf)
         _, nbr = jax.lax.top_k(-d2, m)                   # (j, m) candidates i
-        cen_n = centers[nbr]                              # (j, m, 3)
-        dst_n = dists[nbr]                                # (j, m, n_rays)
-        off = pts[:, None, :, :] - cen_n[:, :, None, :]   # (j, m, s, 3)
+        if prob is not None:
+            # union with the global prob-top-m (same set for every j)
+            _, strong = jax.lax.top_k(jnp.where(valid, prob, -jnp.inf), m)
+            nbr = jnp.concatenate(
+                [nbr, jnp.broadcast_to(strong[None, :], (k, m))], axis=1)
+        mm = nbr.shape[1]
+        cen_n = centers[nbr]                              # (j, mm, 3)
+        dst_n = dists[nbr]                                # (j, mm, n_rays)
+        off = pts[:, None, :, :] - cen_n[:, :, None, :]   # (j, mm, s, 3)
         dist_p = jnp.linalg.norm(off, axis=-1)
         drs = off / jnp.maximum(dist_p[..., None], 1e-12)
         radius = _nearest_ray_radius(drs, dst_n[:, :, None, :], rays)
         frac_jm = jnp.mean((dist_p <= radius).astype(jnp.float32), axis=-1)
-        jj = jnp.broadcast_to(jnp.arange(k)[:, None], (k, m))
+        jj = jnp.broadcast_to(jnp.arange(k)[:, None], (k, mm))
         frac = jnp.zeros((k, k), jnp.float32).at[
             nbr.reshape(-1), jj.reshape(-1)].set(frac_jm.reshape(-1))
     else:

@@ -143,7 +143,11 @@ def _flood_kernel(max_iters: int, elev_ref, markers_ref, mask_ref, out_ref):
         new_lab = jnp.where(upd, best_lab, lab)
         new_cost = jnp.where(upd, best_cost, cost)
         new_hops = jnp.where(upd, best_hops, hops)
-        changed = jnp.any((new_lab != lab) | (new_cost != cost))
+        # hops participate in convergence (same reasoning as
+        # ops/watershed.py watershed_flood): a hops-only wave can still
+        # flip a plateau-boundary label rounds later
+        changed = jnp.any((new_lab != lab) | (new_cost != cost)
+                          | (new_hops != hops))
         return new_lab, new_cost, new_hops, changed, it + 1
 
     def cond(carry):

@@ -116,104 +116,106 @@ def prgls_with_two_ref(init_match: jax.Array,
     # f32 for everything traced below.
     ctx = jax.default_matmul_precision("highest")
     ctx.__enter__()
+    try:
 
-    beta_sq = beta ** 2
-    valid_pair = tgt_mask[:, None] & ref_mask[None, :]
-    prior = _masked(init_match.astype(jnp.float32), valid_pair)
+        beta_sq = beta ** 2
+        valid_pair = tgt_mask[:, None] & ref_mask[None, :]
+        prior = _masked(init_match.astype(jnp.float32), valid_pair)
 
-    gram_nn = gaussian_gram(ptrs_ref, ptrs_ref, beta_sq)
-    gram_nn = jnp.where(ref_mask[:, None] & ref_mask[None, :], gram_nn, 0.0)
-    gram_ln = gaussian_gram(tracked_ref, ptrs_ref, beta_sq)
-    gram_ln = jnp.where(ref_mask[None, :], gram_ln, 0.0)
+        gram_nn = gaussian_gram(ptrs_ref, ptrs_ref, beta_sq)
+        gram_nn = jnp.where(ref_mask[:, None] & ref_mask[None, :], gram_nn, 0.0)
+        gram_ln = gaussian_gram(tracked_ref, ptrs_ref, beta_sq)
+        gram_ln = jnp.where(ref_mask[None, :], gram_ln, 0.0)
 
-    d2_init = pairwise_sq_dists(ptrs_tgt, ptrs_ref)
-    n_pairs = jnp.sum(valid_pair.astype(jnp.float32))
-    sigma_sq0 = jnp.sum(_masked(d2_init, valid_pair)) / (3.0 * n_pairs)
+        d2_init = pairwise_sq_dists(ptrs_tgt, ptrs_ref)
+        n_pairs = jnp.sum(valid_pair.astype(jnp.float32))
+        sigma_sq0 = jnp.sum(_masked(d2_init, valid_pair)) / (3.0 * n_pairs)
 
-    m_valid = jnp.sum(tgt_mask.astype(jnp.float32))
-    eye = jnp.eye(n, dtype=jnp.float32)
+        m_valid = jnp.sum(tgt_mask.astype(jnp.float32))
+        eye = jnp.eye(n, dtype=jnp.float32)
 
-    def e_step(pred_ref, sigma_sq, gamma):
-        k = gaussian_gram(ptrs_tgt, pred_ref, sigma_sq)
-        p_joint = (1.0 - gamma) * prior * k / \
-            (2.0 * jnp.pi * sigma_sq) ** 1.5
-        p_joint = _masked(p_joint, valid_pair)
-        denom = jnp.sum(p_joint, axis=1) + gamma / vol
-        post = p_joint / denom[:, None]
-        return _masked(post, valid_pair)
+        def e_step(pred_ref, sigma_sq, gamma):
+            k = gaussian_gram(ptrs_tgt, pred_ref, sigma_sq)
+            p_joint = (1.0 - gamma) * prior * k / \
+                (2.0 * jnp.pi * sigma_sq) ** 1.5
+            p_joint = _masked(p_joint, valid_pair)
+            denom = jnp.sum(p_joint, axis=1) + gamma / vol
+            post = p_joint / denom[:, None]
+            return _masked(post, valid_pair)
 
-    def m_step(post, pred_ref, sigma_sq):
-        p1 = jnp.sum(post, axis=0)                       # (n,)
-        s_true = lambda_ * sigma_sq
-        dep = ptrs_tgt.T @ post - pred_ref.T * p1[None, :]   # (3, n)
-        if m_step_refine == 0:
-            s_eff = jnp.maximum(s_true, solve_floor)
+        def m_step(post, pred_ref, sigma_sq):
+            p1 = jnp.sum(post, axis=0)                       # (n,)
+            s_true = lambda_ * sigma_sq
+            dep = ptrs_tgt.T @ post - pred_ref.T * p1[None, :]   # (3, n)
+            if m_step_refine == 0:
+                s_eff = jnp.maximum(s_true, solve_floor)
+                coeff = gram_nn * p1[None, :] + s_eff * eye
+                return jnp.linalg.solve(coeff.T, dep.T).T     # (3, n)
+            from jax.scipy.linalg import lu_factor, lu_solve
+            from .df32 import compensated_residual
+            s_eff = jnp.maximum(s_true, 1e-4)                # preconditioner
             coeff = gram_nn * p1[None, :] + s_eff * eye
-            return jnp.linalg.solve(coeff.T, dep.T).T     # (3, n)
-        from jax.scipy.linalg import lu_factor, lu_solve
-        from .df32 import compensated_residual
-        s_eff = jnp.maximum(s_true, 1e-4)                # preconditioner
-        coeff = gram_nn * p1[None, :] + s_eff * eye
-        a_true = gram_nn * p1[None, :] + s_true * eye
-        lu_piv = lu_factor(coeff.T)
-        x = lu_solve(lu_piv, dep.T)                      # (n, 3)
+            a_true = gram_nn * p1[None, :] + s_true * eye
+            lu_piv = lu_factor(coeff.T)
+            x = lu_solve(lu_piv, dep.T)                      # (n, 3)
 
-        def refine(_, x):
-            r = compensated_residual(dep.T, a_true.T, x)
-            return x + lu_solve(lu_piv, r)
+            def refine(_, x):
+                r = compensated_residual(dep.T, a_true.T, x)
+                return x + lu_solve(lu_piv, r)
 
-        x = jax.lax.fori_loop(0, m_step_refine, refine, x)
-        return x.T
+            x = jax.lax.fori_loop(0, m_step_refine, refine, x)
+            return x.T
 
-    stall_limit = 30.0
+        stall_limit = 30.0
 
-    def body(carry):
-        pred_ref, pred_tracked, sigma_sq, gamma, _, aux, it = carry
-        post = e_step(pred_ref, sigma_sq, gamma)
-        c = m_step(post, pred_ref, sigma_sq)
-        move_ref = (c @ gram_nn).T                        # (n, 3)
-        move_tracked = (c @ gram_ln.T).T                  # (l, 3)
-        apply = it > 1
-        pred_ref = jnp.where(apply, pred_ref + move_ref, pred_ref)
-        pred_tracked = jnp.where(apply, pred_tracked + move_tracked,
-                                 pred_tracked)
-        sum_post = jnp.sum(post)
-        gamma = jnp.maximum(1.0 - sum_post / m_valid, 1e-4)
-        d2 = pairwise_sq_dists(pred_ref, ptrs_tgt).T      # (m, n)
-        # guards beyond the reference: if the posterior mass underflows to
-        # zero (degenerate input, sigma collapse), 0/0 would poison the
-        # loop with NaNs — clamp instead
-        sigma_sq = jnp.sum(_masked(d2, valid_pair) * post) / \
-            (3.0 * jnp.maximum(sum_post, 1e-20))
-        sigma_sq = jnp.maximum(sigma_sq, 1e-12)
-        move_norm = jnp.sqrt(jnp.sum(jnp.square(
-            _masked(move_ref, ref_mask[:, None]))))
-        # stagnation tracking (f32 noise floor, see docstring)
-        best = aux[1]
-        improving = move_norm < 0.99 * best
-        stall = jnp.where(improving, 0.0, aux[2] + 1.0)
-        best = jnp.minimum(best, move_norm)
-        return (pred_ref, pred_tracked, sigma_sq, gamma, post,
-                jnp.stack([move_norm, best, stall]), it + 1)
+        def body(carry):
+            pred_ref, pred_tracked, sigma_sq, gamma, _, aux, it = carry
+            post = e_step(pred_ref, sigma_sq, gamma)
+            c = m_step(post, pred_ref, sigma_sq)
+            move_ref = (c @ gram_nn).T                        # (n, 3)
+            move_tracked = (c @ gram_ln.T).T                  # (l, 3)
+            apply = it > 1
+            pred_ref = jnp.where(apply, pred_ref + move_ref, pred_ref)
+            pred_tracked = jnp.where(apply, pred_tracked + move_tracked,
+                                     pred_tracked)
+            sum_post = jnp.sum(post)
+            gamma = jnp.maximum(1.0 - sum_post / m_valid, 1e-4)
+            d2 = pairwise_sq_dists(pred_ref, ptrs_tgt).T      # (m, n)
+            # guards beyond the reference: if the posterior mass underflows to
+            # zero (degenerate input, sigma collapse), 0/0 would poison the
+            # loop with NaNs — clamp instead
+            sigma_sq = jnp.sum(_masked(d2, valid_pair) * post) / \
+                (3.0 * jnp.maximum(sum_post, 1e-20))
+            sigma_sq = jnp.maximum(sigma_sq, 1e-12)
+            move_norm = jnp.sqrt(jnp.sum(jnp.square(
+                _masked(move_ref, ref_mask[:, None]))))
+            # stagnation tracking (f32 noise floor, see docstring)
+            best = aux[1]
+            improving = move_norm < 0.99 * best
+            stall = jnp.where(improving, 0.0, aux[2] + 1.0)
+            best = jnp.minimum(best, move_norm)
+            return (pred_ref, pred_tracked, sigma_sq, gamma, post,
+                    jnp.stack([move_norm, best, stall]), it + 1)
 
-    def cond(carry):
-        *_, aux, it = carry
-        converged = (it > 1) & ((aux[0] < convergence_epsilon)
-                                | (aux[2] >= stall_limit))
-        return (it < max_iteration) & ~converged
+        def cond(carry):
+            *_, aux, it = carry
+            converged = (it > 1) & ((aux[0] < convergence_epsilon)
+                                    | (aux[2] >= stall_limit))
+            return (it < max_iteration) & ~converged
 
-    post0 = jnp.zeros((m, n), jnp.float32)
-    carry0 = (ptrs_ref.astype(jnp.float32),
-              tracked_ref.astype(jnp.float32),
-              sigma_sq0, jnp.float32(0.05), post0,
-              jnp.asarray([jnp.inf, jnp.inf, 0.0], jnp.float32),
-              jnp.int32(1))
-    pred_ref, pred_tracked, sigma_sq, gamma, post, aux, it = \
-        jax.lax.while_loop(cond, body, carry0)
+        post0 = jnp.zeros((m, n), jnp.float32)
+        carry0 = (ptrs_ref.astype(jnp.float32),
+                  tracked_ref.astype(jnp.float32),
+                  sigma_sq0, jnp.float32(0.05), post0,
+                  jnp.asarray([jnp.inf, jnp.inf, 0.0], jnp.float32),
+                  jnp.int32(1))
+        pred_ref, pred_tracked, sigma_sq, gamma, post, aux, it = \
+            jax.lax.while_loop(cond, body, carry0)
 
-    # final C for callers that replay motion (legacy Tracker path)
-    c_final = m_step(post, pred_ref, sigma_sq)
-    ctx.__exit__(None, None, None)
+        # final C for callers that replay motion (legacy Tracker path)
+        c_final = m_step(post, pred_ref, sigma_sq)
+    finally:
+        ctx.__exit__(None, None, None)
     return PrglsResult(pred_tracked, pred_ref, post, it, c_final)
 
 
@@ -269,57 +271,59 @@ def pr_gls_quick(x_ref: jax.Array, y_tgt: jax.Array, corr: jax.Array,
 
     ctx = jax.default_matmul_precision("highest")
     ctx.__enter__()
-    n_static = x_ref.shape[0]
-    m_static = y_tgt.shape[0]
-    if ref_mask is None:
-        ref_mask = jnp.ones((n_static,), bool)
-    if tgt_mask is None:
-        tgt_mask = jnp.ones((m_static,), bool)
-    valid = tgt_mask[:, None] & ref_mask[None, :]
-    n = jnp.sum(ref_mask.astype(jnp.float32))
-    m = jnp.sum(tgt_mask.astype(jnp.float32))
-    init_match = legacy_init_match(corr, threshold=0.5,
-                                   ref_mask=ref_mask, tgt_mask=tgt_mask)
+    try:
+        n_static = x_ref.shape[0]
+        m_static = y_tgt.shape[0]
+        if ref_mask is None:
+            ref_mask = jnp.ones((n_static,), bool)
+        if tgt_mask is None:
+            tgt_mask = jnp.ones((m_static,), bool)
+        valid = tgt_mask[:, None] & ref_mask[None, :]
+        n = jnp.sum(ref_mask.astype(jnp.float32))
+        m = jnp.sum(tgt_mask.astype(jnp.float32))
+        init_match = legacy_init_match(corr, threshold=0.5,
+                                       ref_mask=ref_mask, tgt_mask=tgt_mask)
 
-    gram = gaussian_gram(x_ref, x_ref, beta ** 2)
-    # parked-far padding already zeroes cross terms; zero the padded
-    # diagonal (self-distance 0 -> exp = 1) too
-    gram = jnp.where(ref_mask[:, None] & ref_mask[None, :], gram, 0.0)
-    sigma_sq0 = jnp.sum(jnp.where(valid.T,
-                                  pairwise_sq_dists(x_ref, y_tgt), 0.0)) \
-        / (3.0 * n * m)
-    eye = jnp.eye(n_static, dtype=jnp.float32)
+        gram = gaussian_gram(x_ref, x_ref, beta ** 2)
+        # parked-far padding already zeroes cross terms; zero the padded
+        # diagonal (self-distance 0 -> exp = 1) too
+        gram = jnp.where(ref_mask[:, None] & ref_mask[None, :], gram, 0.0)
+        sigma_sq0 = jnp.sum(jnp.where(valid.T,
+                                      pairwise_sq_dists(x_ref, y_tgt), 0.0)) \
+            / (3.0 * n * m)
+        eye = jnp.eye(n_static, dtype=jnp.float32)
 
-    def body(it, carry):
-        t_x, sigma_sq, gamma, _, _ = carry
-        dist_sq = pairwise_sq_dists(y_tgt, t_x)            # (m, n)
-        p1 = init_match * jnp.exp(-jnp.where(valid, dist_sq, 0.0)
-                                  / (2.0 * sigma_sq))
-        p1 = jnp.where(valid, p1, 0.0)
-        denom = jnp.sum(p1, axis=1) + gamma * \
-            (2.0 * jnp.pi * sigma_sq) ** 1.5 / ((1.0 - gamma) * vol)
-        post = jnp.where(valid, p1 / denom[:, None], 0.0)
+        def body(it, carry):
+            t_x, sigma_sq, gamma, _, _ = carry
+            dist_sq = pairwise_sq_dists(y_tgt, t_x)            # (m, n)
+            p1 = init_match * jnp.exp(-jnp.where(valid, dist_sq, 0.0)
+                                      / (2.0 * sigma_sq))
+            p1 = jnp.where(valid, p1, 0.0)
+            denom = jnp.sum(p1, axis=1) + gamma * \
+                (2.0 * jnp.pi * sigma_sq) ** 1.5 / ((1.0 - gamma) * vol)
+            post = jnp.where(valid, p1 / denom[:, None], 0.0)
 
-        diag_p = jnp.sum(post, axis=0)                     # (n,)
-        a = gram * diag_p[None, :] + lambda_ * sigma_sq * eye
-        b = y_tgt.T @ post - x_ref.T * diag_p[None, :]
-        c = jnp.linalg.solve(a.T, b.T).T                   # (3, n)
-        c = jnp.where(ref_mask[None, :], c, 0.0)
-        t_x = (x_ref.T + c @ gram).T
+            diag_p = jnp.sum(post, axis=0)                     # (n,)
+            a = gram * diag_p[None, :] + lambda_ * sigma_sq * eye
+            b = y_tgt.T @ post - x_ref.T * diag_p[None, :]
+            c = jnp.linalg.solve(a.T, b.T).T                   # (3, n)
+            c = jnp.where(ref_mask[None, :], c, 0.0)
+            t_x = (x_ref.T + c @ gram).T
 
-        m_p = jnp.sum(post)
-        gamma = 1.0 - m_p / m
-        dist_sq2 = pairwise_sq_dists(y_tgt, t_x)
-        sigma_sq = jnp.maximum(
-            jnp.sum(post * jnp.where(valid, dist_sq2, 0.0))
-            / (3.0 * m_p), 1.0)
-        return t_x, sigma_sq, gamma, post, c
+            m_p = jnp.sum(post)
+            gamma = 1.0 - m_p / m
+            dist_sq2 = pairwise_sq_dists(y_tgt, t_x)
+            sigma_sq = jnp.maximum(
+                jnp.sum(post * jnp.where(valid, dist_sq2, 0.0))
+                / (3.0 * m_p), 1.0)
+            return t_x, sigma_sq, gamma, post, c
 
-    carry0 = (x_ref.astype(jnp.float32), sigma_sq0, jnp.float32(0.1),
-              jnp.zeros((m_static, n_static), jnp.float32),
-              jnp.zeros((3, n_static), jnp.float32))
-    # reference iterates range(1, max_iteration) -> max_iteration-1 rounds
-    t_x, sigma_sq, gamma, post, c = jax.lax.fori_loop(
-        1, max_iteration, body, carry0)
-    ctx.__exit__(None, None, None)
+        carry0 = (x_ref.astype(jnp.float32), sigma_sq0, jnp.float32(0.1),
+                  jnp.zeros((m_static, n_static), jnp.float32),
+                  jnp.zeros((3, n_static), jnp.float32))
+        # reference iterates range(1, max_iteration) -> max_iteration-1 rounds
+        t_x, sigma_sq, gamma, post, c = jax.lax.fori_loop(
+            1, max_iteration, body, carry0)
+    finally:
+        ctx.__exit__(None, None, None)
     return LegacyPrglsResult(post, t_x, c)

@@ -125,14 +125,21 @@ def topq_mean_intensity(raw: jax.Array, labels: jax.Array, max_labels: int,
     sorted_raw = flat_raw[order]
     starts = jnp.concatenate(
         [jnp.zeros((1,), counts.dtype), jnp.cumsum(counts)])[:-1]
-    # per-voxel rank within its label run
-    pos = jnp.arange(flat_raw.shape[0])
-    rank = pos - starts[sorted_lab]
-    # keep the top (1 - q) fraction: rank >= floor(count * q) is *strictly
-    # above* the percentile threshold index, reference uses value > perc.
+    # The reference keeps values STRICTLY ABOVE the linear-interpolation
+    # percentile (np.percentile(v, 90); trackerlite.py:195-197) — compute
+    # that threshold VALUE per label from its sorted run and compare.
+    # (An earlier rank-based cutoff ceil(count*q) dropped one voxel for
+    # many counts and kept NOTHING for e.g. 5-voxel cells -> NaN.)
     q = 1.0 - discard_ratio
-    thresh_idx = jnp.ceil(counts[sorted_lab].astype(jnp.float32) * q)
-    keep = (rank.astype(jnp.float32) >= thresh_idx) & (sorted_lab > 0)
+    r = (counts.astype(jnp.float32) - 1.0) * q        # (max_labels + 1,)
+    lo = jnp.clip(jnp.floor(r).astype(jnp.int32), 0, None)
+    hi = jnp.clip(jnp.ceil(r).astype(jnp.int32), 0, None)
+    frac = r - lo.astype(jnp.float32)
+    last = flat_raw.shape[0] - 1
+    v_lo = sorted_raw[jnp.clip(starts + lo, 0, last)]
+    v_hi = sorted_raw[jnp.clip(starts + hi, 0, last)]
+    pthr = v_lo * (1.0 - frac) + v_hi * frac          # per-label percentile
+    keep = (sorted_raw > pthr[sorted_lab]) & (sorted_lab > 0)
     sums = jnp.zeros((max_labels + 1,), jnp.float32).at[sorted_lab].add(
         jnp.where(keep, sorted_raw, 0.0))
     nkeep = jnp.zeros((max_labels + 1,), jnp.float32).at[sorted_lab].add(

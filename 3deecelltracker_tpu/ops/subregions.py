@@ -97,11 +97,26 @@ def build_subregion_atlas(label_image: jax.Array,
     mins, maxs = find_objects_bounds(label_image, n_cells)
     valid = maxs[:, 0] >= mins[:, 0]
     origins_raw = jnp.where(valid[:, None], mins, 0)
+    # For cells near the far border the static box overhangs the image.
+    # dynamic_slice's out-of-bounds semantics differ by lowering (direct:
+    # the whole START is clamped, shifting content; vmapped-to-gather:
+    # per-element edge clamp) — rely on NEITHER: crop at an explicitly
+    # clamped start and roll the content back so the cell always sits at
+    # box offset 0 (where `origins` points).  The rolled-in wrap/garbage
+    # lands at offsets >= the true extent (box - delta >= X - mins >= ext)
+    # and the `inside` mask below removes it.
+    shape_arr = jnp.asarray(label_image.shape, jnp.int32)
+    box_arr = jnp.asarray(box_shape, jnp.int32)
+    starts_clamped = jnp.maximum(
+        jnp.minimum(origins_raw, shape_arr[None, :] - box_arr[None, :]), 0)
+    deltas = origins_raw - starts_clamped                     # >= 0
 
     def one_cell(i):
-        o = origins_raw[i]
+        o = starts_clamped[i]
+        d = deltas[i]
         crop = jax.lax.dynamic_slice(label_image, (o[0], o[1], o[2]),
                                      (bx, by, bz))
+        crop = jnp.roll(crop, (-d[0], -d[1], -d[2]), axis=(0, 1, 2))
         sub = (crop == (i + 1)).astype(jnp.float32)
         # true bbox extents (clipped to the static box)
         ext = jnp.minimum(maxs[i] - mins[i] + 1,
@@ -110,6 +125,12 @@ def build_subregion_atlas(label_image: jax.Array,
         # labels is already excluded by the equality test; this bounds the
         # percentile + threshold region like the reference's tight crop)
         n_real_orig = ext[0] * ext[1] * ext[2]
+        sub = sub * ((jax.lax.broadcasted_iota(jnp.int32, sub.shape, 0)
+                      < ext[0])
+                     & (jax.lax.broadcasted_iota(jnp.int32, sub.shape, 1)
+                        < ext[1])
+                     & (jax.lax.broadcasted_iota(jnp.int32, sub.shape, 2)
+                        < ext[2]))
         nnz = jnp.sum(sub)
         percentage = 1.0 - nnz / n_real_orig.astype(jnp.float32)
 

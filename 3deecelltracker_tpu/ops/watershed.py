@@ -73,7 +73,13 @@ def watershed_flood(elevation: jax.Array, markers: jax.Array,
         new_lab = jnp.where(upd, best_lab, lab)
         new_cost = jnp.where(upd, best_cost, cost)
         new_hops = jnp.where(upd, best_hops, hops)
-        changed = jnp.any((new_lab != lab) | (new_cost != cost))
+        # hops must be part of the convergence test: a hops-only wave
+        # (same label, equal cost, shorter path) can travel through a
+        # plateau for several rounds before flipping a label at its far
+        # boundary — stopping on (lab, cost) alone exits mid-wave and
+        # leaves the skimage FIFO tie-break unsettled
+        changed = jnp.any((new_lab != lab) | (new_cost != cost)
+                          | (new_hops != hops))
         return new_lab, new_cost, new_hops, changed, it + 1
 
     def cond(carry):

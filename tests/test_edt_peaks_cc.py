@@ -185,3 +185,22 @@ def test_edt_envelope_all_foreground_line():
     assert not np.any(np.isnan(got))
     want = ndi.distance_transform_edt(mask, sampling=(1.0, 1.0))
     np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-4)
+
+
+def test_edt_envelope_large_physical_distances():
+    """Regression: the envelope pass's finite 'infinity' was a fixed 1e9
+    with outputs > 5e8 mapped to INF — genuinely large finite squared
+    distances (L * w > ~22k, e.g. coarse physical sampling) were silently
+    clamped/saturated while the dense pass returned the exact answer.
+    The sentinel now scales with the achievable bound."""
+    mask = np.ones((4, 1024), bool)
+    mask[:, 0] = False                      # distances up to 1023 * 30
+    sampling = (1.0, 30.0)                  # (L*w)^2 ~ 9.4e8 > 5e8
+    got = np.asarray(distance_transform_edt(mask, sampling,
+                                            method="envelope"))
+    want = ndi.distance_transform_edt(mask, sampling=sampling)
+    assert np.isfinite(got).all()
+    np.testing.assert_allclose(got, want, rtol=1e-3)
+    dense = np.asarray(distance_transform_edt(mask, sampling,
+                                              method="dense"))
+    np.testing.assert_allclose(got, dense, rtol=1e-3)

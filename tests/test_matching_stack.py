@@ -400,6 +400,19 @@ def test_simple_match_with_tied_scores():
     assert np.asarray(pairs2).sum() == 8
 
 
+def test_simple_match_threshold_zero_terminates():
+    """Regression: the device-side peel loop's condition was
+    max(mat) >= threshold, while acceptance requires mat > 0 — with
+    threshold <= 0 the loop never terminated once the remainder was
+    all zero."""
+    mat = np.zeros((6, 5), np.float32)
+    mat[0, 0] = 0.8
+    prob, pairs = simple_match(mat, threshold=0.0)
+    assert np.asarray(pairs).sum() == 1
+    out = np.asarray(legacy_init_match(mat, 0.0))
+    assert np.isfinite(out).all()
+
+
 def test_prgls_m_step_refine_tracks_float64():
     """VERDICT r2 #5: the compensated (double-single) M-step solve stays
     within a small drift of the float64 trajectory on the sigma-collapse

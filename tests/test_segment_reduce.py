@@ -67,5 +67,27 @@ def test_topq_mean_intensity():
         vals = raw[lab == label]
         thr = np.percentile(vals, 90)
         want = vals[vals > thr].mean()
-        np.testing.assert_allclose(got[label - 1], want, rtol=2e-2)
+        np.testing.assert_allclose(got[label - 1], want, rtol=1e-5)
     assert np.isnan(got[2])
+
+
+def test_topq_mean_intensity_small_and_odd_counts():
+    """Value-threshold semantics (reference trackerlite.py:195-197) for
+    counts where a rank-based cutoff goes wrong: ceil(n*0.9) kept one
+    voxel too few at n=15 and NOTHING at n=5 (NaN activity for a real
+    cell)."""
+    rng = np.random.RandomState(7)
+    for n in (5, 15, 25, 1):
+        raw = np.zeros((1, 64), np.float32)
+        lab = np.zeros((1, 64), np.int32)
+        raw[0, :n] = rng.rand(n).astype(np.float32) * 100
+        lab[0, :n] = 1
+        got = np.asarray(topq_mean_intensity(raw, lab, 1,
+                                             discard_ratio=0.1))[0]
+        vals = raw[lab == 1]
+        thr = np.percentile(vals, 90)
+        keep = vals[vals > thr]
+        if len(keep) == 0:           # n=1: reference's mean of empty = NaN
+            assert np.isnan(got)
+        else:
+            np.testing.assert_allclose(got, keep.mean(), rtol=1e-5)

@@ -66,6 +66,33 @@ def test_overlap_matrix_vs_analytic_spheres(d):
     np.testing.assert_allclose(got[0, 0], 1.0, atol=0.01)
 
 
+def test_overlap_neighbor_cap_dense_cluster():
+    """Regression: neighbor_limit is a COUNT cap, not a distance cutoff —
+    in a cluster with more candidates than the cap, the suppressing
+    high-prob candidate fell outside a far-edge candidate's M nearest,
+    overlap[kept, j] stayed 0, and greedy NMS kept duplicate instances.
+    Passing prob unions in the prob-top-M set and closes the hole."""
+    n_rays = 32
+    rays = jnp.asarray(rays_golden_spiral(n_rays))
+    k = 20
+    # candidates on a line, spacing 0.1, all inside one radius-5 "cell"
+    centers = jnp.stack([jnp.zeros(k), jnp.zeros(k),
+                         0.1 * jnp.arange(k, dtype=jnp.float32)], axis=1)
+    dists = jnp.full((k, n_rays), 5.0)
+    valid = jnp.ones(k, bool)
+    prob = jnp.full((k,), 0.5).at[0].set(1.0)      # candidate 0 = the core
+
+    ov_capped = overlap_matrix(centers, dists, rays, valid,
+                               neighbor_limit=3)
+    kept_capped = np.asarray(greedy_nms(prob, ov_capped, valid, 0.3))
+    assert kept_capped.sum() > 1                   # the documented failure
+
+    ov_fixed = overlap_matrix(centers, dists, rays, valid,
+                              neighbor_limit=3, prob=prob)
+    kept_fixed = np.asarray(greedy_nms(prob, ov_fixed, valid, 0.3))
+    assert kept_fixed.sum() == 1 and kept_fixed[0]
+
+
 def test_greedy_nms():
     prob = jnp.asarray([0.9, 0.8, 0.7])
     overlap = jnp.asarray([[1.0, 0.6, 0.0],

@@ -295,3 +295,31 @@ def test_reference_drop_uses_tight_extents():
     labels3, _ = move_cells_full(atlas, jnp.asarray(move3),
                                  overlap_mode="last", out_of_range="drop")
     assert np.asarray(labels3).sum() == 0
+
+
+def test_atlas_border_cell_with_oversized_box():
+    """Regression: a small cell near the far border whose STATIC box
+    (sized by the largest cell in the volume) overhangs the image must
+    come out with content at box offset 0 and paste back in place — the
+    crop must not depend on dynamic_slice/gather out-of-bounds semantics
+    (direct lowering shifts the whole start; vmapped-to-gather clamps per
+    element)."""
+    lab = np.zeros((30, 32, 6), np.int32)
+    lab[2:14, 3:16, 1:5] = 1                  # big cell -> box (12, 13, 4)
+    lab[26:29, 28:31, 3:6] = 2                # 3x3x3 cell at the far corner
+    atlas = build_subregion_atlas(lab, n_cells=2, box_shape=(12, 13, 4),
+                                  interpolation_factor=1, smooth_sigma=2.5)
+    boxes = np.asarray(atlas.boxes)
+    origins = np.asarray(atlas.origins)
+    np.testing.assert_array_equal(origins[1], [26, 28, 3])
+    nz = np.argwhere(boxes[1])
+    assert len(nz) > 0, "border cell vanished from the atlas"
+    assert nz.min(0).tolist() == [0, 0, 0]
+    assert nz.max(0).max() <= 2, f"content outside the 3^3 extent: {nz.max(0)}"
+    # zero-movement paste restores the cell at its true location
+    labels, _ = move_cells_full(atlas)
+    labels = np.asarray(labels)
+    got = np.argwhere(labels == 2)
+    assert len(got) > 0
+    assert got.min(0).tolist() >= [26, 28, 3]
+    assert (got.max(0) <= [28, 30, 5]).all(), f"displaced paste: {got.max(0)}"
