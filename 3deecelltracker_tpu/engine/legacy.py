@@ -927,9 +927,13 @@ class Tracker:
         for vol in range(from_volume, self.volume_num + 1):
             self.track_one_vol(vol)
 
-    def track_one_vol(self, target_volume: int, method="min_size",
-                      segresult=None):
-        """tracker.py:1473-1536.  ``segresult`` as in :meth:`match`."""
+    def track_one_vol(self, target_volume: int, fig=None, axc6=None,
+                      method="min_size", segresult=None):
+        """tracker.py:1473-1536.  ``fig``/``axc6`` hold the reference's
+        positional slots (the live 6-panel redraw — here the figures are
+        written by ``save_figures``/:meth:`replay_track_animation`
+        instead, so they are accepted and unused to keep ported caller
+        code working).  ``segresult`` as in :meth:`match`."""
         if target_volume in self.miss_frame:
             save_label_slices(self.tracked_labels, self.paths.track_results,
                               "track_results_t%06i_z%04i.tif",

@@ -26,6 +26,14 @@ import jax.numpy as jnp
 import numpy as np
 
 
+def _bucket(n: int, granularity: int = 64) -> int:
+    """Round a label count up to a bucket so _pair_contingency compiles
+    once per bucket instead of once per exact (n_gt, n_pred) pair —
+    optimize_thresholds varies n_pred at every grid point, and each
+    remote compile costs 10-30 s through a tunneled link."""
+    return max(granularity, -(-n // granularity) * granularity)
+
+
 @functools.partial(jax.jit, static_argnames=("max_gt", "max_pred"))
 def _pair_contingency(gt: jax.Array, pred: jax.Array, max_gt: int,
                       max_pred: int):
@@ -51,10 +59,11 @@ def instance_matching(gt_labels: np.ndarray, pred_labels: np.ndarray,
         return dict(precision=0.0, recall=0.0, f1=0.0, mean_matched_iou=0.0,
                     tp=0, fp=n_pred, fn=n_gt)
     inter, gt_sizes, pred_sizes = _pair_contingency(
-        jnp.asarray(gt_labels), jnp.asarray(pred_labels), n_gt, n_pred)
-    inter = np.asarray(inter)[1:, 1:].astype(np.float64)
-    gs = np.asarray(gt_sizes)[1:].astype(np.float64)
-    ps = np.asarray(pred_sizes)[1:].astype(np.float64)
+        jnp.asarray(gt_labels), jnp.asarray(pred_labels),
+        _bucket(n_gt), _bucket(n_pred))
+    inter = np.asarray(inter)[1:n_gt + 1, 1:n_pred + 1].astype(np.float64)
+    gs = np.asarray(gt_sizes)[1:n_gt + 1].astype(np.float64)
+    ps = np.asarray(pred_sizes)[1:n_pred + 1].astype(np.float64)
     union = gs[:, None] + ps[None, :] - inter
     iou = np.where(union > 0, inter / np.maximum(union, 1), 0.0)
 
@@ -88,20 +97,37 @@ def tracking_accuracy(tracked_by_t: Dict[int, np.ndarray],
                       radius: float = 3.0,
                       assign_at: int = None) -> Dict[str, float]:
     """Fraction of tracked positions within ``radius`` of their true
-    trajectory.  Cell identities are assigned by nearest-neighbor at the
-    first common time point (labels can be permuted by relabeling)."""
+    trajectory.  Cell identities are assigned ONE-TO-ONE at the first
+    common time point by greedy nearest-pair matching (labels can be
+    permuted by relabeling) — a plain per-row argmin is non-injective
+    and would let a degenerate tracker that collapses every cell onto
+    one trajectory score high accuracy."""
     ts = sorted(set(tracked_by_t) & set(truth_by_t))
     t0 = assign_at if assign_at is not None else ts[0]
     d0 = np.linalg.norm(tracked_by_t[t0][:, None, :]
                         - truth_by_t[t0][None, :, :], axis=2)
-    assign = d0.argmin(axis=1)
+    n_tr, n_gt = d0.shape
+    assign = np.full(n_tr, -1, int)
+    used_gt = np.zeros(n_gt, bool)
+    for flat in np.argsort(d0, axis=None):
+        i, j = divmod(int(flat), n_gt)
+        if assign[i] >= 0 or used_gt[j]:
+            continue
+        assign[i] = j
+        used_gt[j] = True
+        if used_gt.all() or (assign >= 0).all():
+            break
+    # unmatched tracked cells (more tracked than truth) count as errors
+    unmatched = assign < 0
+    assign = np.where(unmatched, 0, assign)
     correct, total = 0, 0
     per_t = {}
     for t in ts:
         err = np.linalg.norm(tracked_by_t[t] - truth_by_t[t][assign],
                              axis=1)
-        per_t[t] = float((err <= radius).mean())
-        correct += int((err <= radius).sum())
+        ok = (err <= radius) & ~unmatched
+        per_t[t] = float(ok.mean())
+        correct += int(ok.sum())
         total += err.size
     return dict(accuracy=correct / max(total, 1), per_volume=per_t)
 

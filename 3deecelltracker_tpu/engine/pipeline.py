@@ -143,12 +143,17 @@ def segment_and_track(images_path, model,
             done_lock.notify_all()
 
     seg_done = [False]
+    cancel = threading.Event()          # set when tracking fails early:
+                                        # the segmenter stops after its
+                                        # in-flight volume instead of
+                                        # sweeping the whole recording
 
     def seg_thread():
         try:
             predict_and_save(images_path, model, results_dir,
                              volumes=list(range(t_min, t_max + 1)),
-                             progress_cb=progress)
+                             progress_cb=progress,
+                             should_stop=cancel.is_set)
         except Exception as e:          # surface on the tracking side
             seg_error.append(e)
         with done_lock:
@@ -175,6 +180,7 @@ def segment_and_track(images_path, model,
 
     th = threading.Thread(target=seg_thread, daemon=True)
     th.start()
+    tracked_ok = False
     try:
         coords = track_timelapse(
             results_dir, manual_vol1_glob, ffn_weights,
@@ -184,7 +190,14 @@ def segment_and_track(images_path, model,
             config=config, miss_frame=miss_frame,
             images_path=images_path, save_figures=save_figures,
             verbose=verbose, timer=timer, volume_ready=volume_ready)
+        tracked_ok = True
     finally:
+        if not tracked_ok:
+            # tracking failed: stop the segmenter after its in-flight
+            # volume instead of sweeping the rest of the recording
+            # (tracking success implies segmentation reached t_max, save
+            # possibly trailing miss frames the segmenter still writes)
+            cancel.set()
         th.join()
     if seg_error:
         raise seg_error[0]
@@ -360,10 +373,11 @@ def track_timelapse(results_dir: Union[str, Path],
         p2, m2 = _pad_real(transformer.tree.load_seg_coords(t2))
         return prob, np.stack([p1, p2]), np.stack([m1, m2])
 
-    prob_iter = iter(VolumePrefetcher(
+    prefetcher = VolumePrefetcher(
         _load_inputs,
         [t for t in range(t_min + 1, t_max + 1) if t not in miss],
-        depth=2, workers=2))
+        depth=2, workers=2)
+    prob_iter = iter(prefetcher)
     grid_t = tuple(int(g) for g in grid)
     labels_u8 = transformer.coord_vol1.real.shape[0] <= 255
 
@@ -386,8 +400,8 @@ def track_timelapse(results_dir: Union[str, Path],
                     # prefetcher) — block until the concurrent segmenter
                     # has written volume t2's artifacts
                     volume_ready(t2)
-                from ..parallel.ensemble import (ensemble_track_step,
-                                                 pad_members)
+                from ..parallel.ensemble import (
+                    ensemble_member_predictions, pad_members)
                 from ..ops.trim import trim_mean
                 t1s = get_volumes_list(t2, tracker.miss_frame,
                                        config.sampling_number,
@@ -402,11 +416,22 @@ def track_timelapse(results_dir: Union[str, Path],
                     for t1 in t1s])
                 seg2, mask2 = tracker._pad(np.asarray(
                     tracker._get_segmented_pos(t2).real))
+                # pad the member axis to a CONSTANT so the fan-out program
+                # compiles ONCE: the reference volumes ramp
+                # 1..sampling_number over the first volumes, and a
+                # per-count jit would recompile the big program for every
+                # distinct count (10-30 s each through a remote link).
+                # The trimmed mean runs over the REAL members only (a
+                # trim over repeated padding members biases the combine).
+                e_pad = max(int(config.sampling_number),
+                            len(confirmed_list))
                 if mesh is not None:
                     axis = int(mesh.shape["data"])
-                    conf_p, n_real = pad_members(confirmed_list, axis)
-                    seg1_p, _ = pad_members(list(seg1s), axis)
-                    mask1_p, _ = pad_members(list(mask1s), axis)
+                    e_pad = -(-e_pad // axis) * axis
+                conf_p, n_real = pad_members(confirmed_list, e_pad)
+                seg1_p, _ = pad_members(list(seg1s), e_pad)
+                mask1_p, _ = pad_members(list(mask1s), e_pad)
+                if mesh is not None:
                     sharded = _sharded_members_cache(
                         mesh, config.beta, config.lambda_,
                         config.k_neighbors, config.max_iteration,
@@ -415,19 +440,16 @@ def track_timelapse(results_dir: Union[str, Path],
                         tracker.ffn_params, tracker.ffn_state,
                         jnp.asarray(conf_p), jnp.asarray(seg1_p),
                         jnp.asarray(mask1_p), seg2, mask2)
-                    combined = trim_mean(preds[:n_real],
-                                         config.trim_proportion, axis=0)
                 else:
-                    combined = ensemble_track_step(
+                    preds = ensemble_member_predictions(
                         tracker.ffn_params, tracker.ffn_state,
-                        jnp.stack(confirmed_list), jnp.stack(seg1s),
-                        jnp.stack(mask1s),
-                        seg2, mask2, beta=config.beta,
-                        lambda_=config.lambda_,
+                        conf_p, seg1_p, mask1_p, seg2, mask2,
+                        beta=config.beta, lambda_=config.lambda_,
                         k_points=config.k_neighbors,
                         max_iteration=config.max_iteration,
-                        trim_proportion=config.trim_proportion,
                         m_step_refine=config.m_step_refine)
+                combined = trim_mean(preds[:n_real],
+                                     config.trim_proportion, axis=0)
                 pred = Coordinates.from_real(
                     combined, transformer.interpolation_factor,
                     transformer.voxel_size)
@@ -474,6 +496,10 @@ def track_timelapse(results_dir: Union[str, Path],
             if verbose:
                 print(f"tracked t={t2}/{t_max}", end="\r")
     finally:
+        # stop the prefetch workers first (an early error path would
+        # otherwise leave one blocked on the bounded queue, pinning its
+        # in-flight volumes for the life of the process)
+        prefetcher.close()
         save_q.put(None)          # fetcher forwards the stop to writers
         for th in saver_threads:
             th.join()

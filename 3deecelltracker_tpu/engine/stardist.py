@@ -715,7 +715,8 @@ def predict_and_save(images_path, model: StarDist3D,
                      tile_shape=None,
                      tile_candidates: int = 256,
                      tile_batch: int = 8,
-                     shrink=None) -> None:
+                     shrink=None,
+                     should_stop=None) -> None:
     """Segment every volume and persist seg/ artifacts
     (``stardistwrapper.predict_and_save`` :75-111): coords saved (y, x, z)
     -> the pipeline's (x, y, z) frame, prob_map transposed to (x, y, z).
@@ -730,6 +731,11 @@ def predict_and_save(images_path, model: StarDist3D,
     ``progress_cb``: optional ``cb(t)`` invoked (on a saver thread) after
     volume ``t``'s seg artifacts are fully written — the hand-off hook
     for the concurrent ``pipeline.segment_and_track`` driver.
+
+    ``should_stop``: optional ``fn() -> bool`` polled once per volume —
+    when it turns true the sweep stops early (cleanly, after finishing
+    in-flight work).  Lets ``segment_and_track`` cancel a long
+    segmentation when tracking has already failed.
 
     ``tile_shape``: when set (e.g. ``(None, 256, 256)``), each volume is
     segmented through :meth:`StarDist3D.predict_instances_tiled` instead
@@ -799,26 +805,29 @@ def predict_and_save(images_path, model: StarDist3D,
         # the TIFF decode + percentile scan with the device sweep
         done_t = work[0] - 1
         it = iter(loader)
-        while True:
-            # the FileNotFoundError handler must cover ONLY the image
-            # load (end-of-recording semantics) — a write failure inside
-            # _write_one must propagate, not be misreported as a missing
-            # input image (same reasoning as the batched loop below)
-            try:
-                t, (x, mi, ma) = next(it)
-            except StopIteration:
-                break
-            except FileNotFoundError:
-                print(f"Warning: segmentation stopped; images at "
-                      f"t={done_t + 1} cannot be loaded!")
-                break
-            finalized = model.predict_instances_tiled(
-                x, tile_shape=tile_shape, shrink=shrink,
-                tile_candidates=tile_candidates,
-                tile_batch=tile_batch,
-                return_labels=(t == t_min), norm_minmax=(mi, ma))
-            _write_one(t, finalized)
-            done_t = t
+        try:
+            while not (should_stop is not None and should_stop()):
+                # the FileNotFoundError handler must cover ONLY the image
+                # load (end-of-recording semantics) — a write failure
+                # inside _write_one must propagate, not be misreported as
+                # a missing input image (same as the batched loop below)
+                try:
+                    t, (x, mi, ma) = next(it)
+                except StopIteration:
+                    break
+                except FileNotFoundError:
+                    print(f"Warning: segmentation stopped; images at "
+                          f"t={done_t + 1} cannot be loaded!")
+                    break
+                finalized = model.predict_instances_tiled(
+                    x, tile_shape=tile_shape, shrink=shrink,
+                    tile_candidates=tile_candidates,
+                    tile_batch=tile_batch,
+                    return_labels=(t == t_min), norm_minmax=(mi, ma))
+                _write_one(t, finalized)
+                done_t = t
+        finally:
+            loader.close()
         print(f"All images from t={work[0]} to t={done_t} "
               "have been segmented")
         return
@@ -868,6 +877,8 @@ def predict_and_save(images_path, model: StarDist3D,
 
     try:
         for t, (x, mi, ma) in loader:
+            if should_stop is not None and should_stop():
+                break
             if t == t_min:
                 # labels are only persisted for vol 1 (auto_vol1); skipping
                 # the render + 3-6 MB label transfer for every other volume
@@ -890,6 +901,7 @@ def predict_and_save(images_path, model: StarDist3D,
         print(f"Warning: segmentation stopped; images at t={done_t + 1} "
               "cannot be loaded!")
     finally:
+        loader.close()
         flush_group()
         for _ in saver_threads:
             save_q.put(None)

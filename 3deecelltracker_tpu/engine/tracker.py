@@ -240,8 +240,8 @@ class TrackerLite:
             from ..viz import plot_initial_matching
             plot_initial_matching(np.asarray(confirmed_coord_t1.real),
                                   np.asarray(seg_t2.real), pairs_px2, t1, t2)
-        except Exception:
-            pass
+        except Exception as e:
+            print(f"matching figure skipped: {e}")
         return pairs_px2
 
     # ---- activities (trackerlite.py:152-201) ---------------------------------

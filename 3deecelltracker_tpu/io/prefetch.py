@@ -21,6 +21,12 @@ class VolumePrefetcher:
     transfer regardless of size), so two workers roughly double upload
     throughput even on a single host core — the threads overlap RPC waits,
     not CPU.
+
+    One-shot: a fully-consumed prefetcher yields nothing on re-iteration.
+    Consumers that stop early (error paths) should call :meth:`close` so
+    the worker threads stop loading and release the in-flight volumes —
+    without it a worker blocks forever on the bounded queue, pinning
+    ``depth + workers`` loaded volumes for the life of the process.
     """
 
     def __init__(self, load_fn: Callable[[int], object],
@@ -33,16 +39,32 @@ class VolumePrefetcher:
         self._q: "queue.Queue" = queue.Queue(maxsize=self._depth)
         self._thread = threading.Thread(target=self._worker, daemon=True)
         self._started = False
+        self._done = False
+        self._stop = threading.Event()
+
+    def _put(self, item) -> bool:
+        """Bounded put that gives up once :meth:`close` was called."""
+        while not self._stop.is_set():
+            try:
+                self._q.put(item, timeout=0.2)
+                return True
+            except queue.Full:
+                continue
+        return False
 
     def _worker(self):
         if self._workers == 1:
             for t in self._ts:
-                try:
-                    self._q.put((t, self._load(t), None))
-                except Exception as e:  # propagate loader errors in order
-                    self._q.put((t, None, e))
+                if self._stop.is_set():
                     return
-            self._q.put(None)
+                try:
+                    item = (t, self._load(t), None)
+                except Exception as e:  # propagate loader errors in order
+                    self._put((t, None, e))
+                    return
+                if not self._put(item):
+                    return
+            self._put(None)
             return
         # parallel loads, ordered delivery: submit up to `workers` ahead;
         # the bounded output queue supplies the `depth` backpressure
@@ -52,6 +74,10 @@ class VolumePrefetcher:
             pending = []
             idx = 0
             while pending or idx < len(self._ts):
+                if self._stop.is_set():
+                    for _, f in pending:
+                        f.cancel()
+                    return
                 while (idx < len(self._ts)
                        and len(pending) < self._workers + self._depth):
                     t = self._ts[idx]
@@ -59,23 +85,44 @@ class VolumePrefetcher:
                     idx += 1
                 t, fut = pending.pop(0)
                 try:
-                    self._q.put((t, fut.result(), None))
+                    item = (t, fut.result(), None)
                 except Exception as e:
                     for _, f in pending:
                         f.cancel()
-                    self._q.put((t, None, e))
+                    self._put((t, None, e))
                     return
-            self._q.put(None)
+                if not self._put(item):
+                    for _, f in pending:
+                        f.cancel()
+                    return
+            self._put(None)
+
+    def close(self):
+        """Stop the workers and release in-flight volumes (idempotent)."""
+        self._stop.set()
+        # drain so a worker blocked on the bounded queue can observe the
+        # stop flag and exit
+        while True:
+            try:
+                self._q.get_nowait()
+            except queue.Empty:
+                break
+        if self._started:
+            self._thread.join(timeout=5.0)
 
     def __iter__(self) -> Iterator:
+        if self._done or self._stop.is_set():
+            return
         if not self._started:
             self._thread.start()
             self._started = True
         while True:
             item = self._q.get()
             if item is None:
+                self._done = True
                 return
             t, vol, err = item
             if err is not None:
+                self._done = True
                 raise err
             yield t, vol

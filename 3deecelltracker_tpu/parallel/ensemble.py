@@ -41,6 +41,17 @@ def _member_predictions(ffn_params, ffn_state,
     return jax.vmap(member)(confirmed_stack, seg_t1_stack, seg_t1_masks)
 
 
+# the padded-members form: callers pad E to a CONSTANT (pad_members) so
+# the program compiles once, then trim-mean over the REAL members only —
+# the combined-step jit below recompiles for every distinct member count
+# (the reference's ensemble ramps 1..sampling_number over the first
+# volumes; at 10-30 s per remote compile that is minutes of stall, the
+# same measured pathology legacy_fit_members documents)
+ensemble_member_predictions = functools.partial(
+    jax.jit, static_argnames=("k_points", "max_iteration",
+                              "m_step_refine"))(_member_predictions)
+
+
 @functools.partial(jax.jit, static_argnames=("k_points", "max_iteration",
                                              "trim_proportion",
                                              "m_step_refine"))
@@ -66,8 +77,12 @@ def make_sharded_ensemble_step(mesh: Mesh, data_axis: str = "data",
                                **static_kwargs):
     """Jit the ensemble fan-out with the member axis sharded over the mesh
     data axis; the trimmed-mean reduction runs after the all-gather XLA
-    inserts.  Member count must be a multiple of the axis size (pad with
-    repeated members and widen the trim if needed)."""
+    inserts.  Member count must already be a multiple of the axis size —
+    and NOTE the trim runs over ALL rows, so repeated padding members
+    bias the combine (they get double weight and can survive a trim that
+    should cut them).  With padded members use
+    :func:`make_sharded_ensemble_members` and trim over the real rows
+    (what ``engine.pipeline.track_timelapse`` does)."""
     member_sharded = NamedSharding(mesh, P(data_axis))
     replicated = NamedSharding(mesh, P())
 

@@ -13,9 +13,12 @@ def auto_mesh_shape(n_devices: int,
                     max_spatial: int = 4) -> Tuple[int, int]:
     """Pick a (data, spatial) mesh factorization of ``n_devices``.
 
-    Data parallelism scales embarrassingly over volumes / ensemble members,
-    so it gets the larger factor; spatial sharding (halo-exchange convs over
-    ICI) takes a small power of two.
+    The spatial axis takes the largest power of two up to ``max_spatial``
+    (halo-exchange convs over ICI stay cheap at these widths and spatial
+    sharding is what shrinks per-chip activation memory for big volumes);
+    the data axis (volumes / ensemble members) gets the remaining factor —
+    e.g. 8 devices -> (data=2, spatial=4).  Pass ``max_spatial=1`` for an
+    embarrassingly-data-parallel workload.
     """
     spatial = 1
     for cand in (2, 4):

@@ -75,7 +75,6 @@ def make_spatially_sharded_apply(model_apply: Callable, mesh: Mesh,
         def body(params, state, x_local):
             idx = jax.lax.axis_index(axis)
             size = jax.lax.axis_size(axis)
-            left_src = (idx + 1) % size
             # send my left edge to the left neighbor, right edge right
             left_edge = x_local[:, :halo]
             right_edge = x_local[:, -halo:]

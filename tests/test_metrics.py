@@ -87,3 +87,22 @@ def test_optimize_thresholds_picks_best():
         prob_grid=(0.4, 0.5), nms_grid=(0.3, 0.4), verbose=False)
     assert (prob_t, nms_t) == (0.5, 0.3)
     assert model._thresholds == dict(prob=0.5, nms=0.3)
+
+
+def test_tracking_accuracy_rejects_collapsed_tracker():
+    """Regression: a non-injective nearest-neighbor identity assignment
+    let a tracker that collapses ALL cells onto one trajectory score
+    ~100% accuracy; the one-to-one assignment must score it ~1/N."""
+    from t3dct.engine.metrics import tracking_accuracy
+    rng = np.random.RandomState(0)
+    n = 10
+    truth0 = rng.rand(n, 3).astype(np.float32) * 50
+    truth = {t: truth0 + t for t in range(1, 4)}
+    # degenerate tracker: every cell sits exactly on truth cell 0
+    collapsed = {t: np.tile(truth[t][0], (n, 1)) for t in truth}
+    acc = tracking_accuracy(collapsed, truth, radius=3.0)["accuracy"]
+    assert acc <= 1.5 / n, f"collapsed tracker scored {acc}"
+    # and a correct tracker still scores 1.0 (permuted ids)
+    perm = rng.permutation(n)
+    good = {t: truth[t][perm] for t in truth}
+    assert tracking_accuracy(good, truth, radius=1e-3)["accuracy"] == 1.0
