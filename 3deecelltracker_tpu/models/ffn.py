@@ -108,10 +108,14 @@ def ffn_pair_scores(params: Params, state: State,
                            train=False)
         return L.leaky_relu(h)
 
-    fr = trunk(ref_feats)                      # (n, 512)
-    ft = trunk(tgt_feats)                      # (m, 512)
+    fr = trunk(ref_feats)                      # (n, hidden)
+    ft = trunk(tgt_feats)                      # (m, hidden)
     w = params["comb"]["w"]
-    w_ref, w_tgt = w[:HIDDEN], w[HIDDEN:]
+    # split at the TRUNK width from the params, not the module-default
+    # HIDDEN constant — FFN(hidden=...) and imported checkpoints may use
+    # a different width (utils/keras_import derives it from the file)
+    h_trunk = fr.shape[-1]
+    w_ref, w_tgt = w[:h_trunk], w[h_trunk:]
     zr = jnp.dot(fr, w_ref, preferred_element_type=jnp.float32)   # (n, 512)
     zt = jnp.dot(ft, w_tgt, preferred_element_type=jnp.float32)   # (m, 512)
 
@@ -131,6 +135,6 @@ def ffn_pair_scores(params: Params, state: State,
     if row_chunk and row_chunk < m:
         pad = (-m) % row_chunk
         zt_p = jnp.pad(zt, ((0, pad), (0, 0)))
-        out = jax.lax.map(rows, zt_p.reshape(-1, row_chunk, HIDDEN))
+        out = jax.lax.map(rows, zt_p.reshape(-1, row_chunk, zt.shape[1]))
         return out.reshape(-1, zr.shape[0])[:m]
     return rows(zt)

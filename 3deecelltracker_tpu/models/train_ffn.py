@@ -160,8 +160,8 @@ class TrainFFN:
                                      jnp.asarray(y))
                 total += float(loss)
                 n += 1
-                if n > iteration:
-                    break
+                if n > iteration:   # iteration+1 steps/epoch — the
+                    break           # reference's own loop (ffn.py:208)
             losses.append(total / max(n, 1))
             if verbose:
                 print(f"Epoch {epoch}: train loss {losses[-1]:.4f}")

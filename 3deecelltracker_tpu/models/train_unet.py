@@ -103,7 +103,15 @@ def augment_batch(key, images: jax.Array, labels: jax.Array,
         lab_t = jax.vmap(lambda sl: _apply_affine_2d(sl, m, off, 1),
                          in_axes=2, out_axes=2)(
             lab[..., 0].astype(jnp.float32))
-        return img_t[..., None], lab_t[..., None].astype(jnp.int32)
+        # int truncation after bilinear interpolation is the REFERENCE
+        # semantics (Keras flow assigns into an int32 array,
+        # unet3d.py:336-342) — but there scipy interpolates in f64, so
+        # mathematically-integer values survive the cast; our f32
+        # weights sum to 0.99999994 and truncated 1-6% of interior label
+        # pixels to 0.  The epsilon keeps truncation semantics for true
+        # fractional boundary values while absorbing the float noise.
+        return img_t[..., None], \
+            (lab_t[..., None] + 1e-4).astype(jnp.int32)
 
     return jax.vmap(one)(keys, images, labels)
 
@@ -179,6 +187,8 @@ class TrainingUNet3D:
     # ---- training -------------------------------------------------------------
     def _train_batch(self, rng_np: np.random.RandomState):
         n = self.train_subimage.shape[0]
+        # exclusive upper bound (the final window is never drawn) is the
+        # reference's own sampling (unet3d.py:337) — kept for parity
         start = rng_np.randint(0, max(n - self.batch_size, 1))
         imgs = jnp.asarray(
             self.train_subimage[start:start + self.batch_size], jnp.float32)
@@ -266,6 +276,10 @@ class TrainingUNet3D:
             (self.params, self.bn_state),
             self.models_path / "weights_initial.npz")
         self.opt_state = self.optimizer.init(self.params)
+        # a retrain restarts from the initial weights, so the
+        # keep-on-val-improvement comparison must restart too — carrying
+        # the previous run's minimum would silently skip checkpoints
+        self.val_losses = []
         rng_np = np.random.RandomState(0)
         for step in range(1, iteration + 1):
             for _ in range(steps_per_epoch):

@@ -48,42 +48,59 @@ bool parse_ifd(const std::vector<uint8_t>& d, TiffInfo* info) {
   if (d.size() < 8 || d[0] != 'I' || d[1] != 'I' || rd16(&d[2]) != 42)
     return false;  // little-endian classic TIFF only
   uint32_t ifd = rd32(&d[4]);
-  if (ifd + 2 > d.size()) return false;
+  if (uint64_t(ifd) + 2 > d.size()) return false;
   uint16_t n = rd16(&d[ifd]);
+  // Every offset/count below comes from the (possibly truncated or
+  // corrupt) file and must be bounds-checked before dereferencing — the
+  // Python wrapper's contract is "fall back to PIL on error", which
+  // requires parse failures to be error returns, not OOB reads.
   auto read_values = [&](uint32_t off, uint16_t type, uint32_t count,
-                         std::vector<uint64_t>* out) {
+                         std::vector<uint64_t>* out) -> bool {
+    if (count == 0) return false;
     size_t size = (type == 3) ? 2 : 4;  // SHORT or LONG
+    uint64_t need = uint64_t(count) * size;
     const uint8_t* src;
-    uint32_t inline_off = off + 8;
-    if (count * size <= 4) src = &d[inline_off];
-    else src = &d[rd32(&d[inline_off])];
+    uint32_t inline_off = off + 8;      // in bounds: off + 12 <= d.size()
+    if (need <= 4) {
+      src = &d[inline_off];
+    } else {
+      uint64_t value_off = rd32(&d[inline_off]);
+      if (value_off + need > d.size()) return false;
+      src = &d[value_off];
+    }
     for (uint32_t i = 0; i < count; ++i) {
       out->push_back(size == 2 ? rd16(src + 2 * i) : rd32(src + 4 * i));
     }
+    return true;
   };
   for (uint16_t i = 0; i < n; ++i) {
-    uint32_t e = ifd + 2 + 12 * i;
-    if (e + 12 > d.size()) return false;
+    uint64_t e64 = uint64_t(ifd) + 2 + 12 * uint64_t(i);
+    if (e64 + 12 > d.size()) return false;
+    uint32_t e = uint32_t(e64);
     uint16_t tag = rd16(&d[e]);
     uint16_t type = rd16(&d[e + 2]);
     uint32_t count = rd32(&d[e + 4]);
     std::vector<uint64_t> vals;
     switch (tag) {
-      case 256: read_values(e, type, count, &vals);
+      case 256: if (!read_values(e, type, count, &vals)) return false;
         info->width = vals[0]; break;
-      case 257: read_values(e, type, count, &vals);
+      case 257: if (!read_values(e, type, count, &vals)) return false;
         info->height = vals[0]; break;
-      case 258: read_values(e, type, count, &vals);
+      case 258: if (!read_values(e, type, count, &vals)) return false;
         info->bits = vals[0]; break;
-      case 259: read_values(e, type, count, &vals);
+      case 259: if (!read_values(e, type, count, &vals)) return false;
         info->compression = vals[0]; break;
-      case 273: read_values(e, type, count, &info->strip_offsets); break;
-      case 277: read_values(e, type, count, &vals);
+      case 273: if (!read_values(e, type, count, &info->strip_offsets))
+          return false;
+        break;
+      case 277: if (!read_values(e, type, count, &vals)) return false;
         info->samples = vals[0]; break;
-      case 278: read_values(e, type, count, &vals);
+      case 278: if (!read_values(e, type, count, &vals)) return false;
         info->rows_per_strip = vals[0]; break;
-      case 279: read_values(e, type, count, &info->strip_counts); break;
-      case 317: read_values(e, type, count, &vals);
+      case 279: if (!read_values(e, type, count, &info->strip_counts))
+          return false;
+        break;
+      case 317: if (!read_values(e, type, count, &vals)) return false;
         info->predictor = vals[0]; break;
       default: break;
     }
@@ -196,12 +213,18 @@ int decode_into(const TiffInfo& info, const std::vector<uint8_t>& d,
   std::vector<uint8_t> raw(row_bytes * info.height);
   size_t row0 = 0;
   for (size_t s = 0; s < info.strip_offsets.size(); ++s) {
+    if (row0 >= info.height) break;     // more strips than rows: ignore
     uint32_t rows = std::min<uint32_t>(info.rows_per_strip,
                                        info.height - row0);
     size_t want = row_bytes * rows;
-    const uint8_t* src = &d[info.strip_offsets[s]];
+    if (!info.strip_counts.empty() && s >= info.strip_counts.size())
+      return 3;
     size_t src_len = info.strip_counts.empty() ? want
                                                : info.strip_counts[s];
+    // strip window must lie inside the file buffer (corrupt/truncated
+    // files must fail with an error code, not read out of bounds)
+    if (info.strip_offsets[s] + uint64_t(src_len) > d.size()) return 3;
+    const uint8_t* src = &d[info.strip_offsets[s]];
     uint8_t* dst = raw.data() + row_bytes * row0;
     if (info.compression == 1) {
       if (src_len < want) return 3;
@@ -372,16 +395,30 @@ int t3dct_tiff_read(const char* path, uint16_t* out) {
   return decode_into(info, d, out);
 }
 
-// decode n same-shaped slices in parallel into out (n * w * h uint16)
+// decode n same-shaped slices in parallel into out (n * w * h uint16);
+// every slice's parsed dimensions must equal (width, height) — the
+// caller sizes the buffer from the FIRST slice only, so a stray
+// different-shaped TIFF in the glob must be an error (7), not a heap
+// overflow past its stride slot
 int t3dct_tiff_read_volume(const char** paths, int n, uint16_t* out,
                            int width, int height, int n_threads) {
   if (n_threads <= 0) n_threads = std::thread::hardware_concurrency();
   if (n_threads > n) n_threads = n;
+  if (n_threads < 1) n_threads = 1;
   std::vector<int> status(n, 0);
   size_t stride = size_t(width) * height;
+  auto read_checked = [&](const char* path, uint16_t* slot) -> int {
+    std::vector<uint8_t> d;
+    if (!read_file(path, d)) return 1;
+    TiffInfo info;
+    if (!parse_ifd(d, &info)) return 2;
+    if (info.samples != 1 || (info.bits != 8 && info.bits != 16)) return 6;
+    if (int(info.width) != width || int(info.height) != height) return 7;
+    return decode_into(info, d, slot);
+  };
   auto worker = [&](int tid) {
     for (int i = tid; i < n; i += n_threads) {
-      status[i] = t3dct_tiff_read(paths[i], out + stride * i);
+      status[i] = read_checked(paths[i], out + stride * i);
     }
   };
   std::vector<std::thread> threads;

@@ -8,13 +8,22 @@ the engine so headless/TPU-pod runs never require a display.
 
 from __future__ import annotations
 
+import os
+import sys
 from pathlib import Path
 from typing import Optional, Tuple
 
 import numpy as np
 
 import matplotlib
-matplotlib.use("Agg")
+# default to Agg ONLY on headless hosts where nothing chose a backend
+# yet — unconditionally forcing it would silently clobber an interactive
+# session's (%matplotlib widget/qt) backend and break plt.show()
+if (os.environ.get("MPLBACKEND") is None
+        and os.environ.get("DISPLAY") is None
+        and sys.platform != "darwin"
+        and "matplotlib.pyplot" not in sys.modules):
+    matplotlib.use("Agg")
 import matplotlib.pyplot as plt  # noqa: E402
 from matplotlib.patches import ConnectionPatch  # noqa: E402
 from PIL import Image  # noqa: E402
@@ -24,14 +33,12 @@ def random_label_cmap(n: int = 2 ** 16, seed: int = 42):
     """Random label colormap (stardist ``random_label_cmap`` equivalent,
     stardistwrapper.py:36)."""
     rng = np.random.RandomState(seed)
-    h = rng.uniform(0, 1, n)
-    s = rng.uniform(0.4, 1.0, n)
-    v = rng.uniform(0.6, 1.0, n)
-    import colorsys
-    cols = np.asarray([colorsys.hsv_to_rgb(hi, si, vi)
-                       for hi, si, vi in zip(h, s, v)])
-    cols[0] = 0
-    from matplotlib.colors import ListedColormap
+    hsv = np.stack([rng.uniform(0, 1, n),
+                    rng.uniform(0.4, 1.0, n),
+                    rng.uniform(0.6, 1.0, n)], axis=1)
+    from matplotlib.colors import ListedColormap, hsv_to_rgb
+    cols = hsv_to_rgb(hsv)          # vectorized (a per-entry Python loop
+    cols[0] = 0                     # costs ~65536 colorsys calls at import)
     cmap = ListedColormap(cols)
     cmap.colors = cols
     return cmap
@@ -210,10 +217,12 @@ def save_merged_labels(tree, corrected_labels_image, images_path, t: int,
 
 
 def optimize_row_column(duration, n_signals, figsize):
-    """analyses.py:113-146."""
+    """analyses.py:113-146.  Clamped to >= 1 row: the reference divides
+    by zero for small duration*n_signals (its own latent crash — the
+    clamp is the one deliberate deviation here)."""
     whr = figsize[0] / figsize[1]
     total = duration * n_signals
-    row_n = int((total / (50 * whr)) ** 0.5)
+    row_n = max(int((total / (50 * whr)) ** 0.5), 1)
     col_n = int(np.ceil(n_signals / row_n))
     return row_n, col_n
 

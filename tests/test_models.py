@@ -135,3 +135,31 @@ def test_train_stardist_val_plateau_and_lr_reduce(tmp_path):
     assert len(tr2.val_losses) == 2
     assert all(np.isfinite(v) for v in tr2.val_losses)
     assert abs(tr2.learning_rate - 1e-3) < 1e-9
+
+def test_ffn_pair_scores_nondefault_hidden():
+    """Regression: the comb-weight split point was the module constant
+    HIDDEN=512 instead of the params' trunk width — an FFN(hidden=256)
+    model (or a non-512 imported checkpoint) scored with an empty
+    w_tgt."""
+    from t3dct.models.ffn import FFN
+    model = FFN(hidden=256)
+    params, state = model.init(jax.random.PRNGKey(3))
+    rng = np.random.RandomState(2)
+    ref = rng.randn(8, 61).astype(np.float32)
+    tgt = rng.randn(6, 61).astype(np.float32)
+    got = np.asarray(ffn_pair_scores(params, state, ref, tgt))
+    assert got.shape == (6, 8)
+
+    pairs = np.zeros((8 * 6, 122), np.float32)
+    idx = 0
+    for j in range(6):
+        for i in range(8):
+            pairs[idx, :61] = ref[i]
+            pairs[idx, 61:] = tgt[j]
+            idx += 1
+    want, _ = ffn_apply(params, state, jnp.asarray(pairs), train=False)
+    np.testing.assert_allclose(got, np.asarray(want).reshape(6, 8),
+                               rtol=1e-4, atol=1e-5)
+    chunked = np.asarray(ffn_pair_scores(params, state, ref, tgt,
+                                         row_chunk=4))
+    np.testing.assert_allclose(got, chunked, rtol=1e-5, atol=1e-6)

@@ -112,3 +112,36 @@ def test_save_label_slices_native_roundtrip(tmp_path):
     got = load_2d_slices_at_time(str(tmp_path / "lab_t%03i_z*.tif"), t=3,
                                  do_normalize=False)      # (z, y', x')
     np.testing.assert_array_equal(got.transpose(1, 2, 0), lab)
+
+
+def test_read_volume_rejects_mismatched_slice(tmp_path):
+    """Regression: the volume reader sizes its buffer from the FIRST
+    slice; a stray different-shaped TIFF in the glob used to be decoded
+    at its own dimensions into the fixed-stride slot (heap overflow) —
+    it must fail cleanly (-> None, PIL fallback) instead."""
+    from t3dct.native.tiff import tiff_read_volume, tiff_write
+    rng = np.random.RandomState(1)
+    small = (rng.rand(32, 24) * 60000).astype(np.uint16)
+    big = (rng.rand(64, 80) * 60000).astype(np.uint16)
+    p1, p2 = str(tmp_path / "a.tif"), str(tmp_path / "b.tif")
+    assert tiff_write(p1, small) and tiff_write(p2, big)
+    assert tiff_read_volume([p1, p2]) is None
+    # same-shaped volume still reads
+    p3 = str(tmp_path / "c.tif")
+    assert tiff_write(p3, small)
+    vol = tiff_read_volume([p1, p3])
+    np.testing.assert_array_equal(vol[0], small)
+
+
+def test_read_rejects_truncated_file(tmp_path):
+    """Corrupt/truncated TIFFs must return an error (PIL fallback), not
+    read out of bounds."""
+    from t3dct.native.tiff import tiff_read, tiff_write
+    img = (np.arange(32 * 24) % 251).astype(np.uint16).reshape(32, 24)
+    p = str(tmp_path / "t.tif")
+    assert tiff_write(p, img)
+    data = open(p, "rb").read()
+    for cut in (10, len(data) // 2, len(data) - 4):
+        q = str(tmp_path / f"cut{cut}.tif")
+        open(q, "wb").write(data[:cut])
+        assert tiff_read(q) is None or cut == len(data) - 4

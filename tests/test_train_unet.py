@@ -127,3 +127,18 @@ def test_unet_training_sharded_matches_local(tmp_path):
         runs.append(tr.train(iteration=2, steps_per_epoch=4,
                              verbose=False))
     np.testing.assert_allclose(runs[0], runs[1], rtol=1e-3)
+
+
+def test_augment_labels_survive_float_noise():
+    """Regression: bilinear label interpolation in f32 produced values
+    like 0.99999994 on mathematically-constant regions, and the int
+    truncation (the reference's own cast semantics, unet3d.py:336-342,
+    where scipy's f64 interpolation is noise-free) zeroed 1-6% of
+    interior label pixels per batch.  An all-ones label volume must
+    survive ANY affine with reflect boundary exactly."""
+    import jax
+    lab = np.ones((2, 32, 32, 4, 1), np.int32)
+    img = np.ones((2, 32, 32, 4, 1), np.float32)
+    for seed in range(4):
+        _, out = augment_batch(jax.random.PRNGKey(seed), img, lab)
+        assert int((np.asarray(out) == 0).sum()) == 0
