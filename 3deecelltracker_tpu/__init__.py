@@ -38,8 +38,6 @@ from .coordinates import Coordinates  # noqa: F401
 from .config import (  # noqa: F401
     LcnConfig,
     MeshConfig,
-    PipelineConfig,
-    PrglsConfig,
     SegmentationConfig,
     StarDistConfig,
     TrackingConfig,

@@ -5,12 +5,24 @@ module-level constants (``tracker.py:45-48``, ``trackerlite.py:29-30``,
 ``ffn.py:17-26``, StarDist ``Config3D`` heuristics in
 ``stardistwrapper.py:213-259``).  Here every stage gets one frozen dataclass
 so jitted code can specialize on static hyper-parameters.
+
+Where each knob lives (every class below is consumed by the stage named in
+its docstring — there are deliberately no unconsumed umbrella classes):
+
+- segmentation (U-Net + watershed): ``SegmentationConfig``
+- LCN preprocessing: ``LcnConfig`` (``ops.lcn.lcn(config=...)``)
+- tracking incl. the PR-GLS EM knobs: ``TrackingConfig`` (the 0.1 / 0.5
+  match-peel thresholds are the reference's fixed algorithm constants,
+  exposed as ``ops.matching`` function arguments)
+- StarDist model/inference: ``StarDistConfig``
+- device-mesh layout: ``MeshConfig`` (``parallel.make_mesh_from_config``)
+- trainers: ``TrainUnetConfig`` / ``TrainFfnConfig`` (``config=`` kwarg)
 """
 
 from __future__ import annotations
 
 import dataclasses
-from typing import Optional, Tuple
+from typing import Tuple
 
 
 @dataclasses.dataclass(frozen=True)
@@ -35,28 +47,6 @@ class SegmentationConfig:
     min_distance_2d: int = 7
     min_distance_3d: int = 3
     probability_threshold: float = 0.5
-
-
-@dataclasses.dataclass(frozen=True)
-class PrglsConfig:
-    """PR-GLS EM registration (reference ``trackerlite.py:29``, ``track.py:11``)."""
-    beta: float = 3.0
-    lambda_: float = 3.0
-    max_iteration: int = 2000
-    convergence_epsilon: float = 1e-3
-    gamma_init: float = 0.05
-    gamma_min: float = 1e-4
-    vol: float = 1.0
-
-
-@dataclasses.dataclass(frozen=True)
-class FfnConfig:
-    """FFN matching network (reference ``ffn.py:17-26``)."""
-    k_neighbors: int = 20
-    n_features: int = 61                   # 20 * 3 offsets + 1 mean distance
-    hidden: int = 512
-    match_threshold: float = 0.1           # simple_match (trackerlite.py:242)
-    legacy_match_threshold: float = 0.5    # legacy peel (track.py:64)
 
 
 @dataclasses.dataclass(frozen=True)
@@ -131,17 +121,3 @@ class TrainFfnConfig:
     ratio_seg_error: float = 0.15
     kde_bandwidth: float = 0.1
     num_sets: int = 20
-
-
-@dataclasses.dataclass(frozen=True)
-class PipelineConfig:
-    """End-to-end pipeline wiring."""
-    voxel_size: Tuple[float, float, float] = (1.0, 1.0, 1.0)
-    interpolation_factor: int = 1
-    lcn: LcnConfig = LcnConfig()
-    segmentation: SegmentationConfig = SegmentationConfig()
-    tracking: TrackingConfig = TrackingConfig()
-    prgls: PrglsConfig = PrglsConfig()
-    ffn: FfnConfig = FfnConfig()
-    stardist: Optional[StarDistConfig] = None
-    mesh: MeshConfig = MeshConfig()

@@ -105,11 +105,26 @@ class Coordinates:
         return int(self.raw_f32.shape[0])
 
     # ---- algebra ----------------------------------------------------------
+    def _check_frame(self, other: "Coordinates") -> None:
+        """The whole point of this value class is frame correctness (the
+        reference validates frames via its ``dtype`` argument,
+        coordinates.py) — mixing metadata must be an error, not a silent
+        keep-left."""
+        if (self.interpolation_factor != other.interpolation_factor
+                or self.voxel_size != other.voxel_size):
+            raise ValueError(
+                "Coordinates frame mismatch: "
+                f"interpolation_factor {self.interpolation_factor} vs "
+                f"{other.interpolation_factor}, voxel_size "
+                f"{self.voxel_size} vs {other.voxel_size}")
+
     def __add__(self, other: "Coordinates") -> "Coordinates":
+        self._check_frame(other)
         return Coordinates(self.raw_f32 + other.raw_f32,
                            self.interpolation_factor, self.voxel_size)
 
     def __sub__(self, other: "Coordinates") -> "Coordinates":
+        self._check_frame(other)
         return Coordinates(self.raw_f32 - other.raw_f32,
                            self.interpolation_factor, self.voxel_size)
 

@@ -45,9 +45,25 @@ class DataGeneratorFFN:
     (x (b, 122), y (b, 1))."""
 
     def __init__(self, points_normalized: np.ndarray, seed: int = 0,
-                 batch_size: int = BATCH_SIZE, num_sets: int = NUM_SETS):
+                 batch_size: int = BATCH_SIZE, num_sets: int = NUM_SETS,
+                 config=None):
+        """``config``: optional :class:`t3dct.TrainFfnConfig` — overrides
+        the batch/synthesis knobs (batch_size, num_sets, affine_level,
+        random_movement_level, ratio_seg_error, kde_bandwidth)."""
         self.points = np.asarray(points_normalized, np.float32)
         self.rng = np.random.RandomState(seed)
+        if config is not None:
+            batch_size = config.batch_size
+            num_sets = config.num_sets
+            self.affine_level = config.affine_level
+            self.random_movement_level = config.random_movement_level
+            self.ratio_seg_error = config.ratio_seg_error
+            self.kde_bandwidth = config.kde_bandwidth
+        else:
+            self.affine_level = AFFINE_LEVEL
+            self.random_movement_level = RAND_MOVE_LEVEL
+            self.ratio_seg_error = RATIO_SEG_ERROR
+            self.kde_bandwidth = 0.1
         self.batch_size = batch_size
         self.num_sets = num_sets
         self._features = jax.jit(knn_feature_vectors_cross,
@@ -56,9 +72,11 @@ class DataGeneratorFFN:
     def _one_set(self) -> Tuple[np.ndarray, np.ndarray]:
         pts = self.points
         n = pts.shape[0]
-        tgt = affine_transform(pts, AFFINE_LEVEL, RAND_MOVE_LEVEL,
+        tgt = affine_transform(pts, self.affine_level,
+                               self.random_movement_level,
                                self.rng).astype(np.float32)
-        with_err, replaced = add_seg_errors(tgt, RATIO_SEG_ERROR,
+        with_err, replaced = add_seg_errors(tgt, self.ratio_seg_error,
+                                            bandwidth=self.kde_bandwidth,
                                             rng=self.rng)
         with_err = with_err.astype(np.float32)
         no_match = no_match_points(n, with_err, self.rng)
@@ -101,7 +119,14 @@ class TrainFFN:
                  segmentation1_path: Optional[str] = None,
                  voxel_size=(1, 1, 1),
                  basedir: Union[str, Path] = "./ffn_models",
-                 learning_rate: float = 1e-3, seed: int = 0):
+                 learning_rate: float = 1e-3, seed: int = 0,
+                 config=None):
+        """``config``: optional :class:`t3dct.TrainFfnConfig` — overrides
+        ``learning_rate``, sets :meth:`train`'s default iterations/epoch,
+        and parameterizes the synthesis generator."""
+        if config is not None:
+            learning_rate = config.learning_rate
+        self.config = config
         self.path_model = Path(basedir)
         (self.path_model / "weights").mkdir(exist_ok=True, parents=True)
         self.model_name = model_name
@@ -132,7 +157,8 @@ class TrainFFN:
 
         norm, _ = normalize_points(jnp.asarray(pts, jnp.float32))
         self.points_t1 = np.asarray(norm)
-        self.points_generator = DataGeneratorFFN(self.points_t1, seed=seed)
+        self.points_generator = DataGeneratorFFN(self.points_t1, seed=seed,
+                                                 config=config)
         self._train_step = jax.jit(self._train_step_impl)
 
     def _train_step_impl(self, params, bn_state, opt_state, x, y):
@@ -145,9 +171,12 @@ class TrainFFN:
         updates, new_opt = self.optimizer.update(grads, opt_state, params)
         return optax.apply_updates(params, updates), new_bn, new_opt, loss
 
-    def train(self, num_epochs: int = 10, iteration: int = 5000,
+    def train(self, num_epochs: int = 10, iteration: int = None,
               weights_name: str = FFN_WEIGHTS_NAME,
               verbose: bool = True) -> list:
+        if iteration is None:
+            iteration = (self.config.iterations_per_epoch
+                         if self.config is not None else 5000)
         losses = []
         gen = iter(self.points_generator)
         end_epoch = self.current_epoch + num_epochs

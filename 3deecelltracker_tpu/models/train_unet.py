@@ -122,10 +122,17 @@ class TrainingUNet3D:
 
     def __init__(self, noise_level: float, folder_path: Union[str, Path],
                  model: UNet3D, learning_rate: float = 1e-3, seed: int = 0,
-                 batch_size: int = 8, mesh=None):
+                 batch_size: int = 8, mesh=None, config=None):
         """``mesh``: optional jax.sharding.Mesh — train steps shard the
         batch over (data, spatial) axes (parallel/training.py);
-        ``batch_size`` must divide the data axis."""
+        ``batch_size`` must divide the data axis.  ``config``: optional
+        :class:`t3dct.TrainUnetConfig` — overrides ``learning_rate`` /
+        ``batch_size``, sets the default ``steps_per_epoch`` for
+        :meth:`train`, and parameterizes the augmentation affines."""
+        if config is not None:
+            learning_rate = config.learning_rate
+            batch_size = config.batch_size
+        self.config = config
         self.noise_level = noise_level
         self.folder_path = Path(folder_path)
         self.model = model
@@ -195,7 +202,15 @@ class TrainingUNet3D:
         labs = jnp.asarray(
             self.train_subcells[start:start + self.batch_size], jnp.int32)
         self._key, sub = jax.random.split(self._key)
-        x, y = augment_batch(sub, imgs, labs)
+        if self.config is not None:
+            x, y = augment_batch(
+                sub, imgs, labs,
+                rotation_range=self.config.rotation_range,
+                shift_range=self.config.shift_range,
+                shear_range=self.config.shear_range,
+                horizontal_flip=self.config.horizontal_flip)
+        else:
+            x, y = augment_batch(sub, imgs, labs)
         if self._batch_sharding is not None:
             x = jax.device_put(x, self._batch_sharding)
             y = jax.device_put(y, self._batch_sharding)
@@ -269,9 +284,12 @@ class TrainingUNet3D:
                                     train=False)
         return float(bce_from_probs(probs, ys))
 
-    def train(self, iteration: int = 100, steps_per_epoch: int = 60,
+    def train(self, iteration: int = 100, steps_per_epoch: int = None,
               weights_name: str = "weights_training_",
               verbose: bool = True):
+        if steps_per_epoch is None:
+            steps_per_epoch = (self.config.steps_per_epoch
+                               if self.config is not None else 60)
         self.params, self.bn_state = load_pytree(
             (self.params, self.bn_state),
             self.models_path / "weights_initial.npz")

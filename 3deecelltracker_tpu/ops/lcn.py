@@ -22,23 +22,36 @@ import jax.numpy as jnp
 from .filters import box_mean
 
 
-@functools.partial(jax.jit, static_argnames=("filter_size", "padding"))
 def lcn(img3d: jax.Array,
         noise_level: float = 5.0,
         filter_size: Tuple[int, int, int] = (27, 27, 1),
-        padding: str = "zero") -> jax.Array:
+        padding: str = "zero",
+        config=None) -> jax.Array:
     """Local contrast normalization of a 3-D volume.
 
     out = (x - mean_w(x)) / (sqrt(mean_w((x - mean_w(x))^2)) + noise_level)
 
     with mean_w a box average over ``filter_size``.  ``padding='zero'``
     reproduces the reference GPU path (Conv3D 'same'); ``'reflect'``
-    reproduces the CPU path.
+    reproduces the CPU path.  Passing a :class:`t3dct.LcnConfig` as
+    ``config`` overrides the three explicit knobs.
 
     Note: like the reference GPU path, the *normalizer* divides by the full
     window volume even at borders (zero padding shrinks the effective mean
     near edges in the same way Conv3D does).
     """
+    if config is not None:
+        noise_level = config.noise_level
+        filter_size = tuple(config.filter_size)
+        padding = config.padding
+    return _lcn_impl(img3d, noise_level, filter_size, padding)
+
+
+@functools.partial(jax.jit, static_argnames=("filter_size", "padding"))
+def _lcn_impl(img3d: jax.Array,
+              noise_level: float,
+              filter_size: Tuple[int, int, int],
+              padding: str) -> jax.Array:
     x = img3d.astype(jnp.float32)
     avg = box_mean(x, filter_size, mode=padding)
     diff_sqr = jnp.square(x - avg)

@@ -6,13 +6,14 @@ package is new TPU architecture: ``jax.sharding.Mesh`` + pjit with
 and device-resident ensemble reductions.
 """
 
-from .mesh import make_mesh, auto_mesh_shape
+from .mesh import make_mesh, make_mesh_from_config, auto_mesh_shape
 from . import multihost
 from .training import make_unet_train_step, make_sharded_unet_train_step
 
 __all__ = [
     "multihost",
     "make_mesh",
+    "make_mesh_from_config",
     "auto_mesh_shape",
     "make_unet_train_step",
     "make_sharded_unet_train_step",

@@ -37,3 +37,12 @@ def make_mesh(n_data: int, n_spatial: int = 1,
         raise ValueError(f"need {need} devices, have {len(devices)}")
     grid = np.asarray(devices[:need]).reshape(n_data, n_spatial)
     return Mesh(grid, axis_names)
+
+
+def make_mesh_from_config(config,
+                          devices: Optional[Sequence[jax.Device]] = None
+                          ) -> Mesh:
+    """Build the device mesh a :class:`t3dct.MeshConfig` describes."""
+    return make_mesh(config.data_parallel, config.spatial_parallel,
+                     devices=devices,
+                     axis_names=(config.data_axis, config.spatial_axis))

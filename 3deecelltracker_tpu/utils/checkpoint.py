@@ -29,25 +29,31 @@ def _path_str(path) -> str:
 
 
 def save_pytree(tree: Any, path: Union[str, Path]) -> None:
+    """Save to EXACTLY ``path`` (``np.savez`` on a filename silently
+    appends ``.npz`` when absent, which would break the
+    save/``load_pytree`` round-trip for any other extension — writing
+    through an open file object keeps the name verbatim)."""
     flat, _ = jax.tree_util.tree_flatten_with_path(tree)
     arrays = {_path_str(p): np.asarray(v) for p, v in flat}
     Path(path).parent.mkdir(parents=True, exist_ok=True)
-    np.savez(str(path), **arrays)
+    with open(path, "wb") as f:
+        np.savez(f, **arrays)
 
 
 def load_pytree(template: Any, path: Union[str, Path]) -> Any:
     """Load arrays saved by ``save_pytree`` into the structure of
     ``template`` (shapes/keys must match)."""
-    data = np.load(str(path))
     flat, treedef = jax.tree_util.tree_flatten_with_path(template)
     leaves = []
-    for p, v in flat:
-        key = _path_str(p)
-        if key not in data:
-            raise KeyError(f"checkpoint {path} missing leaf {key}")
-        arr = data[key]
-        if arr.shape != np.shape(v):
-            raise ValueError(
-                f"leaf {key}: shape {arr.shape} != template {np.shape(v)}")
-        leaves.append(arr)
+    with np.load(str(path)) as data:
+        for p, v in flat:
+            key = _path_str(p)
+            if key not in data:
+                raise KeyError(f"checkpoint {path} missing leaf {key}")
+            arr = data[key]
+            if arr.shape != np.shape(v):
+                raise ValueError(
+                    f"leaf {key}: shape {arr.shape} != template "
+                    f"{np.shape(v)}")
+            leaves.append(arr)
     return jax.tree_util.tree_unflatten(treedef, leaves)

@@ -107,7 +107,13 @@ def _units(layers) -> List[Dict[str, Any]]:
                 units.append({"kind": "bn", "gamma": arr, "layer": lname,
                               "name": wname})
             elif base in ("beta", "moving_mean", "moving_variance"):
-                if not units or units[-1]["kind"] != "bn":
+                # start a new unit unless this weight continues the bn
+                # unit of the SAME layer — a scale=False bn (no gamma)
+                # adjacent to a completed bn must not overwrite the
+                # previous layer's statistics
+                if (not units or units[-1]["kind"] != "bn"
+                        or units[-1]["layer"] != lname
+                        or base in units[-1]):
                     # BatchNormalization(scale=False) has no gamma
                     units.append({"kind": "bn", "layer": lname,
                                   "name": wname})
@@ -353,6 +359,16 @@ class KerasGraph:
         cfg = model_config.get("config", model_config)
         if isinstance(cfg, dict) and "layers" not in cfg:
             raise ValueError("model_config has no layers")
+        if model_config.get("class_name") == "Sequential" or not any(
+                "inbound_nodes" in lay for lay in cfg["layers"]):
+            # Sequential-format configs carry no inbound_nodes graph; the
+            # executor below would silently seed only the first layer and
+            # die with an opaque KeyError at the output lookup
+            raise ValueError(
+                "Sequential-format model_config is not supported by "
+                "KerasGraph (no inbound_nodes graph); re-save the model "
+                "in functional form or use the explicit architecture "
+                "importers (import_unet3 / import_ffn)")
         self.layers = {}
         self.order: List[str] = []
         for lay in cfg["layers"]:

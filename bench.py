@@ -131,7 +131,10 @@ def write_gt_seg_artifacts(results: Path, centers_by_t):
 
     tree = ResultsTree(results)
     rng = np.random.RandomState(1)
-    gz, gy, gx = Z // GRID[0], -(-Y // GRID[1]), -(-X // GRID[2])
+    # ceil division on EVERY axis: predict_and_save writes strided
+    # [::g] prob maps of ceil(L/g) planes (cf. __graft_entry__.py) — a
+    # floor here would desync the GT prob shape whenever GRID[0] ∤ Z
+    gz, gy, gx = -(-Z // GRID[0]), -(-Y // GRID[1]), -(-X // GRID[2])
     zz = np.arange(gz, dtype=np.float32)[:, None, None] * GRID[0]
     yy = np.arange(gy, dtype=np.float32)[None, :, None] * GRID[1]
     xx = np.arange(gx, dtype=np.float32)[None, None, :] * GRID[2]
@@ -300,12 +303,15 @@ def main():
         print(json.dumps({
             "metric": "e2e_pipeline_volumes_per_sec",
             "value": round(vols_per_sec, 4),
-            "unit": (f"volumes/sec, shipped segment_and_track composition "
+            "unit": (f"volumes/sec over the {N_VOLS}-volume recording, "
+                     f"shipped segment_and_track composition "
                      f"(predict_and_save || track_timelapse overlapped), "
                      f"worm1 scale on disk; sequential stages: seg "
-                     f"{t_seg * 1e3:.0f}ms + track {t_track * 1e3:.0f}ms "
-                     f"per volume, overlapped best-of-3 "
-                     f"{t_overlap * 1e3:.0f}ms (trials "
+                     f"{t_seg * 1e3:.0f}ms/vol ({N_VOLS} segmented) + "
+                     f"track {t_track * 1e3:.0f}ms/vol "
+                     f"({N_VOLS - 1} tracked; vol 1 is the seed), "
+                     f"overlapped best-of-3 {t_overlap * 1e3:.0f}ms/vol "
+                     f"over {N_VOLS} (trials "
                      f"{', '.join('%.0f' % (t * 1e3) for t in trials)}ms), "
                      f"wall incl. host I/O + transfers; tracking median "
                      f"err {med_err:.2f}"),

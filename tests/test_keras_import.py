@@ -473,3 +473,40 @@ def test_stardist_keras_arch_matches_keras(tmp_path):
     got_prob, got_dist = net.apply(params, x)
     np.testing.assert_allclose(np.asarray(got_prob), want_prob, atol=1e-5)
     np.testing.assert_allclose(np.asarray(got_dist), want_dist, atol=1e-4)
+
+
+def test_units_adjacent_scale_false_bn():
+    """Regression: a scale=False BatchNorm (no gamma) directly after a
+    completed BN unit used to be MERGED into the previous layer's unit,
+    overwriting its beta/mean/var and losing one unit."""
+    from t3dct.utils.keras_import import _units
+    a = [("bn_a", [("bn_a/gamma:0", np.ones(4, np.float32)),
+                   ("bn_a/beta:0", np.full(4, 2.0, np.float32)),
+                   ("bn_a/moving_mean:0", np.zeros(4, np.float32)),
+                   ("bn_a/moving_variance:0", np.ones(4, np.float32))]),
+         ("bn_b", [("bn_b/beta:0", np.full(4, 7.0, np.float32)),
+                   ("bn_b/moving_mean:0", np.full(4, 5.0, np.float32)),
+                   ("bn_b/moving_variance:0", np.full(4, 3.0,
+                                                      np.float32))])]
+    units = _units(a)
+    assert len(units) == 2
+    assert units[0]["layer"] == "bn_a" and units[1]["layer"] == "bn_b"
+    np.testing.assert_array_equal(units[0]["beta"],
+                                  np.full(4, 2.0, np.float32))
+    np.testing.assert_array_equal(units[1]["beta"],
+                                  np.full(4, 7.0, np.float32))
+    assert "gamma" not in units[1]
+
+
+def test_kerasgraph_rejects_sequential_config():
+    """A Sequential-format model_config has no inbound_nodes graph; the
+    executor used to die later with an opaque KeyError — it must raise a
+    clear ValueError at construction."""
+    cfg = {"class_name": "Sequential", "config": {"layers": [
+        {"class_name": "Dense", "name": "dense_1",
+         "config": {"name": "dense_1", "units": 4}},
+        {"class_name": "Dense", "name": "dense_2",
+         "config": {"name": "dense_2", "units": 1}},
+    ]}}
+    with pytest.raises(ValueError, match="Sequential"):
+        KerasGraph(cfg, {})
