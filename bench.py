@@ -178,7 +178,7 @@ def bench_track(results: Path, lab1):
     from t3dct.models.train_ffn import TrainFFN
 
     save_label_slices(lab1.transpose(1, 2, 0), results / "manual_vol1",
-                      "manual_vol1_z%04i_t%04i.tif", 0, use_8_bit=False,
+                      "manual_vol1_t%04i_z%04i.tif", 0, use_8_bit=False,
                       compression=None)
     # brief FFN training on the vol-1 cloud (real frame: (y, x, z*ratio))
     coords1 = np.load(results / "seg" / "coords000001.npy").astype(

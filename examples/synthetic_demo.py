@@ -57,6 +57,7 @@ def main():
                          "(reference track_stardist_single_mode-h5.ipynb)")
     args = ap.parse_args()
     out = Path(args.out)
+    out.mkdir(parents=True, exist_ok=True)
     raw_dir = out / "raw"
     results = out / "results"
     images_path = str(raw_dir / "raw_t%03i_z*.tif")
@@ -70,20 +71,19 @@ def main():
                       rng.uniform(-0.7, 0.7, N_CELLS)], 1).astype(np.float32)
 
     print("== generating synthetic recording")
+    vols = []
     for t in range(1, N_VOLS + 1):
         img, lab = make_volume(t, centers0, drift, np.random.RandomState(t))
         img16 = (img / img.max() * 40000).astype(np.uint16)
-        save_label_slices(img16.transpose(1, 2, 0), raw_dir,
-                          "raw_t%03i_z%04i.tif", t, use_8_bit=False,
-                          compression=None)
+        if args.h5:              # one recording.h5, no unread TIFF series
+            vols.append(img16)
+        else:
+            save_label_slices(img16.transpose(1, 2, 0), raw_dir,
+                              "raw_t%03i_z%04i.tif", t, use_8_bit=False,
+                              compression=None)
     if args.h5:
         from t3dct.io.imageio import save_recording_h5
-        vols = [make_volume(t, centers0, drift,
-                            np.random.RandomState(t))[0] for t in
-                range(1, N_VOLS + 1)]
-        save_recording_h5(out / "recording.h5",
-                          [(v / v.max() * 40000).astype(np.uint16)
-                           for v in vols])
+        save_recording_h5(out / "recording.h5", vols)
         images_path = {"h5_file": str(out / "recording.h5"), "channel": 0}
         print(f"== packed recording into {out / 'recording.h5'}")
     img1, lab1 = make_volume(1, centers0, drift, np.random.RandomState(1))
@@ -107,7 +107,7 @@ def main():
 
     print("== 'manual' correction (using ground truth labels)")
     save_label_slices(lab1.transpose(1, 2, 0), results / "manual_vol1",
-                      "manual_vol1_z%04i_t%04i.tif", 0, use_8_bit=True,
+                      "manual_vol1_t%04i_z%04i.tif", 0, use_8_bit=True,
                       compression=None)
 
     print("== training FFN")

@@ -10,12 +10,8 @@ from pathlib import Path as _Path
 _sys.path.insert(0, str(_Path(__file__).resolve().parents[1]))
 
 import argparse
-from glob import glob
 
-import numpy as np
-
-from t3dct.engine.stardist import configure
-from t3dct.io.imageio import imread, percentile_normalize
+from t3dct.engine.stardist import configure, load_training_images
 from t3dct.models.train_stardist import TrainStarDist3D
 
 
@@ -33,18 +29,20 @@ def main():
     ap.add_argument("--steps-per-epoch", type=int, default=100)
     args = ap.parse_args()
 
-    xs = sorted(glob(args.train_images))
-    ys = sorted(glob(args.train_labels))
-    assert len(xs) > 0 and len(xs) == len(ys), "image/label mismatch"
-    X = [percentile_normalize(imread(p).astype(np.float32)) for p in xs]
-    Y = [imread(p).astype(np.int32) for p in ys]
+    # multi-page 3-D volumes + hole filling + seeded 15% val split — the
+    # reference's own loader contract (stardistwrapper.py:168-211); a
+    # plain imread() would read only the first TIFF page of each volume
+    (X, Y, X_trn, Y_trn, X_val, Y_val,
+     n_channel) = load_training_images(args.train_images,
+                                       args.train_labels, plot=False)
 
-    cfg = configure(Y, n_channel=1)
+    cfg = configure(Y, n_channel=n_channel)
     print("config:", cfg)
     trainer = TrainStarDist3D(cfg, basedir=args.basedir,
                               model_name=args.model_name)
-    trainer.train(X, Y, epochs=args.epochs,
-                  steps_per_epoch=args.steps_per_epoch)
+    trainer.train(X_trn, Y_trn, epochs=args.epochs,
+                  steps_per_epoch=args.steps_per_epoch,
+                  X_val=X_val, Y_val=Y_val)
     print(f"saved model to {args.basedir}/{args.model_name}")
 
 

@@ -42,6 +42,8 @@ def main():
     ap.add_argument("--adjacent", action="store_true")
     ap.add_argument("--retrain", type=int, default=0,
                     help="retrain U-Net for N epochs on manual vol 1")
+    ap.add_argument("--skip-segmentation", action="store_true",
+                    help="manual_vol1/ proofread labels already exist")
     args = ap.parse_args()
 
     tracker = Tracker(
@@ -55,11 +57,24 @@ def main():
 
     tracker.load_unet()
     tracker.load_ffn()
-    tracker.segment_vol1()           # writes auto_vol1/ for proofreading
+    # two-phase workflow, as in the reference notebooks: segmentation
+    # first, then the user proofreads auto_vol1/ into manual_vol1/ before
+    # tracking can start
+    if not args.skip_segmentation:
+        tracker.segment_vol1()       # writes auto_vol1/ for proofreading
+        print("Now manually correct auto_vol1/ into manual_vol1/ (e.g. "
+              "with ITK-SNAP), then re-run with --skip-segmentation.")
+        return
     tracker.load_manual_seg()        # reads manual_vol1/
     if args.retrain:
-        tracker.retrain_unet(iteration=args.retrain)
-        tracker.select_unet_weights(args.retrain)
+        val_losses = tracker.retrain_unet(iteration=args.retrain)
+        # checkpoints exist only at val-improvement steps; pick the best
+        # step (the notebook has the user choose it from the printed
+        # losses) — step 0 restores the initial weights if nothing beat
+        # the pre-retrain loss
+        import numpy as np
+        best = int(np.argmin(val_losses))
+        tracker.select_unet_weights(best)
     tracker.interpolate_seg()
     tracker.cal_subregions()
     tracker.initiate_tracking()

@@ -177,18 +177,23 @@ def run_mode(volume_fn, mode_fn, work, ensemble, label, sc: Scene,
         mode_fn(tr, t, segresults[t])
     per_vol = (time.perf_counter() - t0) / (last_vol - 3) * 1e3
     print(f"{label}: {per_vol:.0f} ms/volume", flush=True)
-    return per_vol, tr.history.r_tracked_coordinates[-1]
+    return per_vol, list(tr.history.r_tracked_coordinates)
 
 
 def run_pair(volume_fn, sc, ensemble, tag, results, old_timed_vols=None):
     work = Path(tempfile.mkdtemp(prefix=f"t3dct_legacy_bench_{tag}_"))
-    new_ms, new_last = run_mode(
+    new_ms, new_hist = run_mode(
         volume_fn, lambda tr, t, s: tr.track_one_vol(t, segresult=s),
         work / "new", ensemble, f"{tag} fused", sc)
-    old_ms, old_last = run_mode(
+    old_ms, old_hist = run_mode(
         volume_fn, old_track_one_vol, work / "old", ensemble,
         f"{tag} host-loop", sc, timed_vols=old_timed_vols)
-    dev = float(np.median(np.linalg.norm(new_last - old_last, axis=1)))
+    # compare at the LAST volume both modes tracked — with
+    # old_timed_vols the host loop stops earlier, and coordinates from
+    # different time points would measure cell motion, not parity
+    k = min(len(new_hist), len(old_hist)) - 1
+    dev = float(np.median(np.linalg.norm(new_hist[k] - old_hist[k],
+                                         axis=1)))
     results[tag] = {"fused_ms_per_vol": round(new_ms, 1),
                     "host_loop_ms_per_vol": round(old_ms, 1),
                     "speedup": round(old_ms / new_ms, 2),

@@ -134,6 +134,10 @@ def our_recurrence(results: Path, confirmed_vol1_real, ffn_weights,
 def main():
     install_shims()
     sys.path.insert(0, "/root/reference")
+    # ~a dozen distinct compiles through the tunnel at 10-30 s each
+    # without this (CLAUDE.md compile-cache rule)
+    from t3dct.utils.cache import enable_compilation_cache
+    enable_compilation_cache()
 
     work = Path(tempfile.mkdtemp(prefix="t3dct_parity_"))
     results = work / "results"

@@ -557,10 +557,11 @@ def compare_tier_b(ours, refs, vols) -> dict:
     rep["i_disp_equal_fraction"] = float(np.mean(idisp_eq))
     rep["label_agreement_same_idisp_cells"] = float(np.mean(agree_m)) \
         if agree_m else None
-    # accuracy vs GT at final t (both sides, real frame)
+    # accuracy vs GT at final t (both sides, real frame) — NOTE: this is
+    # assignment-by-proximity (each tracked point scored against its
+    # nearest GT), not identity-tracked error
     gt = vols[B_T]["gt_layer"] * np.array([1.0, 1.0, B_RATIO])
-    for key, data, p in (("our", ours, np.arange(n0)),
-                         ("ref", refs, None)):
+    for key, data in (("our", ours), ("ref", refs)):
         tr = data["tracked"][B_T]
         a = np.linalg.norm(tr[:, None] - gt[None], axis=2).argmin(1)
         rep[f"{key}_median_err_vs_gt_tN"] = float(np.median(

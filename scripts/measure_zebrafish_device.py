@@ -73,11 +73,20 @@ def main():
     print(f"device-resident tile sweep: {tile_ms:.1f} ms", flush=True)
 
     # global combine (overlap + NMS + render) on the concatenated
-    # candidates — measured with device-resident candidate inputs
+    # candidates — measured with device-resident candidate inputs.
+    # The shipped _combine_tile_parts truncates to the top
+    # max_candidates by prob BEFORE building the combine program (its
+    # overlap matrix is O(k^2): 12544 concatenated candidates would be a
+    # ~37x larger program than production ever runs); replicate that
+    # truncation on-device so combine_render_ms measures the shipped k
     probs = jnp.concatenate([o[1] for o in outs])
     dists = jnp.concatenate([o[2] for o in outs])
     points = jnp.concatenate([o[3] for o in outs])
     valid = jnp.concatenate([o[4] for o in outs])
+    order = jnp.argsort(
+        -jnp.where(valid, probs, -jnp.inf))[:model.max_candidates]
+    probs, dists, points, valid = (probs[order], dists[order],
+                                   points[order], valid[order])
     combine = model._get_combine_program(int(probs.shape[0]), SHAPE, True)
     out = combine(probs, dists, points, valid, np.float32(0.3))
     jax.device_get(jnp.sum(out[1][:2, :2, :2]))

@@ -88,7 +88,7 @@ def test_v1_stardist_workflow_end_to_end(tmp_path):
     # labels (z, y, x) -> slices (y, x): the pipeline (x, y, z) frame is
     # (img_y, img_x, z), matching seg coords saved as points[:, [1, 2, 0]]
     save_label_slices(lab1.transpose(1, 2, 0), results / "manual_vol1",
-                      "manual_vol1_z%04i_t%04i.tif", 0, use_8_bit=True,
+                      "manual_vol1_t%04i_z%04i.tif", 0, use_8_bit=True,
                       compression=None)
 
     # ---- train a small FFN on jittered copies of the vol-1 cloud
@@ -156,7 +156,7 @@ def test_segment_and_track_concurrent(tmp_path):
                           compression=None)
     _, lab1, _ = _volume_at(1)
     save_label_slices(lab1.transpose(1, 2, 0), results / "manual_vol1",
-                      "manual_vol1_z%04i_t%04i.tif", 0, use_8_bit=True,
+                      "manual_vol1_t%04i_z%04i.tif", 0, use_8_bit=True,
                       compression=None)
 
     cfg = StarDistConfig(n_rays=8, grid=(1, 2, 2),
@@ -205,7 +205,7 @@ def test_segment_and_track_truncated_recording(tmp_path):
                           compression=None)
     _, lab1, _ = _volume_at(1)
     save_label_slices(lab1.transpose(1, 2, 0), results / "manual_vol1",
-                      "manual_vol1_z%04i_t%04i.tif", 0, use_8_bit=True,
+                      "manual_vol1_t%04i_z%04i.tif", 0, use_8_bit=True,
                       compression=None)
 
     cfg = StarDistConfig(n_rays=8, grid=(1, 2, 2),
@@ -248,7 +248,7 @@ def test_segment_and_track_concurrent_ensemble(tmp_path):
                           compression=None)
     _, lab1, _ = _volume_at(1)
     save_label_slices(lab1.transpose(1, 2, 0), results / "manual_vol1",
-                      "manual_vol1_z%04i_t%04i.tif", 0, use_8_bit=True,
+                      "manual_vol1_t%04i_z%04i.tif", 0, use_8_bit=True,
                       compression=None)
 
     cfg = StarDistConfig(n_rays=8, grid=(1, 2, 2),

@@ -161,7 +161,7 @@ def test_track_timelapse_miss_frame_without_artifacts(tmp_path):
         lab1[int(cx) - 2:int(cx) + 2, int(cy) - 2:int(cy) + 2,
              int(cz) - 1:int(cz) + 1] = i + 1
     save_label_slices(lab1, tmp_path / "manual_vol1",
-                      "manual_vol1_z%04i_t%04i.tif", 0, use_8_bit=True)
+                      "manual_vol1_t%04i_z%04i.tif", 0, use_8_bit=True)
     gz, gy = shape[0], shape[1]
     for t in (1, 2, 4, 5):                  # t=3 is the miss frame
         drift = 0.3 * (t - 1)

@@ -49,7 +49,7 @@ def test_validate_worm1_smoke(tmp_path):
 
     results = tmp_path / "results"
     save_label_slices(lab1.transpose(1, 2, 0), results / "manual_vol1",
-                      "manual_vol1_z%04i_t%04i.tif", 0, use_8_bit=True,
+                      "manual_vol1_t%04i_z%04i.tif", 0, use_8_bit=True,
                       compression=None)
 
     ffn_weights = FFN().init(jax.random.PRNGKey(0))
