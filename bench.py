@@ -55,12 +55,21 @@ VOXEL_SIZE = (1.0, 1.0, 9.2)
 REFERENCE_VOLS_PER_SEC = 0.2     # driver-set TF/3080Ti e2e estimate
 
 
-def make_drifting_centers(n_vols: int = N_VOLS, n_cells: int = N_CELLS,
-                          shape=(Z, Y, X), rng=None):
+def make_drifting_centers(n_vols: int = None, n_cells: int = None,
+                          shape=None, rng=None):
     """THE synthetic worm scene: ``n_cells`` rejection-sampled centers
     drifting smoothly; {t: (n, 3) zyx float32}.  Shared by this benchmark
     and ``scripts/compare_reference_accuracy.py`` so the accuracy-parity
-    numbers are measured on exactly the benchmarked workload."""
+    numbers are measured on exactly the benchmarked workload.
+
+    Defaults resolve to the module constants AT CALL TIME so harnesses
+    that shrink the scene (monkeypatching N_CELLS etc.) take effect."""
+    if n_vols is None:
+        n_vols = N_VOLS
+    if n_cells is None:
+        n_cells = N_CELLS
+    if shape is None:
+        shape = (Z, Y, X)
     z, y, x = shape
     if rng is None:
         rng = np.random.RandomState(0)
