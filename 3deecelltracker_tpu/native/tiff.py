@@ -81,6 +81,12 @@ def tiff_info(path: str) -> Optional[Tuple[int, int, int]]:
     if lib.t3dct_tiff_info(str(path).encode(), ctypes.byref(w),
                            ctypes.byref(h), ctypes.byref(b)):
         return None
+    # dimension sanity: a corrupt header must not drive a giant (or
+    # negative) host allocation in the read paths — 2^26 pixels/slice
+    # (8192^2, 128 MB uint16) is far beyond any microscopy slice here
+    if not (0 < w.value and 0 < h.value
+            and w.value * h.value <= (1 << 26)):
+        return None
     return w.value, h.value, b.value
 
 

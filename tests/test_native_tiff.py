@@ -145,3 +145,25 @@ def test_read_rejects_truncated_file(tmp_path):
         q = str(tmp_path / f"cut{cut}.tif")
         open(q, "wb").write(data[:cut])
         assert tiff_read(q) is None or cut == len(data) - 4
+
+
+def test_read_rejects_absurd_dimensions(tmp_path):
+    """A corrupt header with a huge width must be rejected by the
+    dimension sanity guard, not drive a giant host allocation."""
+    import struct
+    from t3dct.native.tiff import tiff_read, tiff_write
+    img = (np.arange(24 * 16) % 251).astype(np.uint16).reshape(24, 16)
+    p = str(tmp_path / "dim.tif")
+    assert tiff_write(p, img)
+    data = bytearray(open(p, "rb").read())
+    ifd = struct.unpack_from("<I", data, 4)[0]
+    n = struct.unpack_from("<H", data, ifd)[0]
+    for i in range(n):
+        e = ifd + 2 + 12 * i
+        tag = struct.unpack_from("<H", data, e)[0]
+        if tag == 256:                                   # ImageWidth
+            struct.pack_into("<HI", data, e + 2, 4, 1)   # type LONG
+            struct.pack_into("<I", data, e + 8, 0x7FFFFFF0)
+    q = str(tmp_path / "dim_bad.tif")
+    open(q, "wb").write(bytes(data))
+    assert tiff_read(q) is None
