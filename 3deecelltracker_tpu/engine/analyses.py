@@ -62,10 +62,14 @@ def get_activities(raw_path: str, tracked_labels_path: str,
         raw = read_image_ts(frame, raw_path, (1, layer_num + 1))
         labels = labels0 if frame == 1 else read_image_ts(
             frame, tracked_labels_path, (1, layer_num + 1))
-        activities[frame - 1] = np.asarray(mean_excluding_bottom(
+        act = np.asarray(mean_excluding_bottom(
             jnp.asarray(raw.astype(np.float32)),
             jnp.asarray(labels.astype(np.int32)), cell_num,
             discard_ratio=discard_ratio))
+        # a label absent from this frame reads 0.0, as in the reference's
+        # quick variant (analyses.py:90-92 skips None bboxes, leaving the
+        # preallocated zeros) — the raw op returns NaN there
+        activities[frame - 1] = np.nan_to_num(act, nan=0.0)
     return activities
 
 

@@ -52,7 +52,8 @@ def accurate_correction_loop(atlas: SubregionAtlas,
                              prob_img: jax.Array,
                              boundary_mask: jax.Array,
                              max_repetition: int = 20
-                             ) -> Tuple[jax.Array, jax.Array, jax.Array]:
+                             ) -> Tuple[jax.Array, jax.Array, jax.Array,
+                                        jax.Array]:
     """Refine raw cell centers against the probability map.
 
     Returns (corrected_raw (n,3) f32, labels image (x,y,z) int32, overlap

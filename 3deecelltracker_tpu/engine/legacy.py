@@ -402,8 +402,16 @@ class Tracker:
     def _segment(self, vol: int, method: str = "min_size"):
         image_raw = self._read_volume(vol)
         cache = os.path.join(self.paths.unet_cache, "t%06i.npy" % vol)
-        return self.segmenter.segment(image_raw, method=method,
-                                      cache_path=cache)
+        result = self.segmenter.segment(image_raw, method=method,
+                                        cache_path=cache)
+        # mirror the reference's adaptive storage (tracker.py:681-683):
+        # segmenting with 'min_size' learns cell_num (enabling the
+        # method='cell_num' tracking workflow), and 'cell_num' learns
+        # min_size; the segmenter updated its config — sync our attributes
+        # so a later _build_segmenter rebuild keeps the learned values
+        self.min_size = self.segmenter.config.min_size
+        self.cell_num = self.segmenter.config.cell_num
+        return result
 
     def precompute_segmentation(self, volumes=None,
                                 prefetch_depth: int = 2) -> None:

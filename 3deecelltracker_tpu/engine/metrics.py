@@ -103,7 +103,16 @@ def tracking_accuracy(tracked_by_t: Dict[int, np.ndarray],
     and would let a degenerate tracker that collapses every cell onto
     one trajectory score high accuracy."""
     ts = sorted(set(tracked_by_t) & set(truth_by_t))
+    if not ts:
+        raise ValueError(
+            f"tracking_accuracy: no common time point between tracked "
+            f"({sorted(tracked_by_t)[:5]}...) and truth "
+            f"({sorted(truth_by_t)[:5]}...)")
     t0 = assign_at if assign_at is not None else ts[0]
+    if t0 not in tracked_by_t or t0 not in truth_by_t:
+        raise ValueError(
+            f"tracking_accuracy: assign_at={t0} is not present in both "
+            f"trajectory dicts (common time points: {ts[:5]}...)")
     d0 = np.linalg.norm(tracked_by_t[t0][:, None, :]
                         - truth_by_t[t0][None, :, :], axis=2)
     n_tr, n_gt = d0.shape
@@ -132,6 +141,36 @@ def tracking_accuracy(tracked_by_t: Dict[int, np.ndarray],
     return dict(accuracy=correct / max(total, 1), per_volume=per_t)
 
 
+def _instances_from_probdist(model, orig_shape: Tuple[int, ...]):
+    """Jitted candidates -> overlap -> NMS -> label-render stage taking a
+    precomputed (padded, grid-resolution) backbone output.  Thresholds are
+    runtime scalars, so one compile serves the whole grid search."""
+    from ..models.stardist3d import sparse_candidates
+    from ..ops.nms import (greedy_nms, overlap_matrix,
+                           render_polyhedra_labels)
+
+    cfg, rays = model.config, model.rays
+    image_shape = tuple(int(s) for s in orig_shape)
+    max_candidates, render_box = model.max_candidates, model.render_box
+
+    def stage(prob_g, dist_g, prob_thresh, nms_thresh):
+        probs, dists, points, valid = sparse_candidates(
+            prob_g, dist_g, cfg.grid, prob_thresh,
+            max_candidates=max_candidates)
+        valid = (valid
+                 & (points[:, 0] < image_shape[0])
+                 & (points[:, 1] < image_shape[1])
+                 & (points[:, 2] < image_shape[2]))
+        centers = points.astype(jnp.float32)
+        overlaps = overlap_matrix(centers, dists, rays, valid, prob=probs)
+        kept = greedy_nms(probs, overlaps, valid, nms_thresh)
+        return render_polyhedra_labels(centers, dists, rays, probs, kept,
+                                       image_shape,
+                                       render_box).astype(jnp.uint16)
+
+    return jax.jit(stage)
+
+
 def optimize_thresholds(model, X_val: Sequence[np.ndarray],
                         Y_val: Sequence[np.ndarray],
                         prob_grid: Sequence[float] = (0.3, 0.4, 0.5, 0.6,
@@ -142,14 +181,43 @@ def optimize_thresholds(model, X_val: Sequence[np.ndarray],
     """Grid-search (prob_thresh, nms_thresh) maximizing mean F1@IoU over
     validation volumes; stores the best pair on the model (the reference
     workflow's ``optimize_thresholds`` step).  Y_val are label volumes in
-    the model's (z, y, x) frame."""
+    the model's (z, y, x) frame.
+
+    The backbone forward runs ONCE per validation volume (its output is
+    threshold-independent, like upstream stardist's implementation); only
+    the candidate/NMS/render stage re-runs per grid point, with the
+    thresholds as runtime scalars (no recompiles)."""
+    if len(X_val) == 0 or len(X_val) != len(Y_val):
+        raise ValueError(
+            f"optimize_thresholds needs matched non-empty X_val/Y_val "
+            f"(got {len(X_val)} images, {len(Y_val)} labels)")
+    fast = hasattr(model, "_pad_input") and hasattr(model, "_fwd")
+    if fast:
+        # backbone once per volume; grid-resolution outputs stay device-side
+        prob_dist = []
+        stages = {}
+        for x in X_val:
+            padded, orig_shape = model._pad_input(np.asarray(x, np.float32))
+            prob_g, dist_g = model._fwd(
+                model.params, jnp.asarray(padded)[None, ..., None])
+            if orig_shape not in stages:
+                stages[orig_shape] = _instances_from_probdist(model,
+                                                              orig_shape)
+            prob_dist.append((prob_g[0, ..., 0], dist_g[0], orig_shape))
+
     best = (-1.0, None, None)
     for prob_t in prob_grid:
         for nms_t in nms_grid:
             scores = []
-            for x, y in zip(X_val, Y_val):
-                (labels, _), _ = model.predict_instances(
-                    x, prob_thresh=prob_t, nms_thresh=nms_t)
+            for i, y in enumerate(Y_val):
+                if fast:
+                    prob_g, dist_g, orig_shape = prob_dist[i]
+                    labels = np.asarray(stages[orig_shape](
+                        prob_g, dist_g, np.float32(prob_t),
+                        np.float32(nms_t))).astype(np.int32)
+                else:       # duck-typed model: full predict per point
+                    (labels, _), _ = model.predict_instances(
+                        X_val[i], prob_thresh=prob_t, nms_thresh=nms_t)
                 scores.append(instance_matching(y, labels,
                                                 iou_thresh)["f1"])
             mean_f1 = float(np.mean(scores))
@@ -159,6 +227,10 @@ def optimize_thresholds(model, X_val: Sequence[np.ndarray],
             if mean_f1 > best[0]:
                 best = (mean_f1, prob_t, nms_t)
     _, prob_t, nms_t = best
+    if prob_t is None:
+        raise RuntimeError(
+            "optimize_thresholds: no grid point produced a finite score "
+            "(all F1 values were NaN) — check the validation volumes")
     model._thresholds = dict(prob=prob_t, nms=nms_t)
     if verbose:
         print(f"selected prob_thresh={prob_t}, nms_thresh={nms_t} "

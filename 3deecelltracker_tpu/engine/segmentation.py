@@ -104,12 +104,32 @@ class UNetSegmenter:
     def segment(self, image_raw: np.ndarray, method: str = "min_size",
                 cache_path: Optional[Union[str, Path]] = None) -> SegResult:
         image_raw = np.asarray(image_raw)
+        if method == "cell_num" and not self.config.cell_num:
+            raise ValueError(
+                "method='cell_num' requires a positive cell_num — "
+                "segment volume 1 with method='min_size' first (it learns "
+                "cell_num, tracker.py:682-683) or set it in the config")
         probs = self.predict_cellregions(image_raw, cache_path)
         if float(jnp.max(probs)) <= 0.5:
             raise ValueError(
                 "No cell was detected by 3D U-Net! Try to reduce the "
                 "noise_level.")
         seg, com, min_size, cell_num = self._watershed(probs, method=method)
+        # adopt the adaptive values the watershed derived, exactly as the
+        # reference stores them (tracker.py:681-683): min_size always
+        # (learned under method='cell_num'); cell_num only when the
+        # min_size method counted the cells.  The jitted watershed bakes
+        # the config in at trace time, so a change must re-jit (compiles
+        # lazily; the values change once, at vol 1)
+        import dataclasses
+        new_cfg = dataclasses.replace(
+            self.config, min_size=int(min_size),
+            cell_num=int(cell_num) if method == "min_size"
+            else self.config.cell_num)
+        if new_cfg != self.config:
+            self.config = new_cfg
+            self._watershed = jax.jit(self._watershed_impl,
+                                      static_argnames=("method",))
         seg_np = np.asarray(seg)
         n = int(seg_np.max())
         if n == 0:

@@ -160,18 +160,29 @@ class CoordsToImageTransformer:
         # stands in for n_before and both counts fetch together.
         present = jnp.bincount(jnp.ravel(smoothed_dev),
                                length=n_cells0 + 1)[1:] > 0
+        cap = max(64, 2 * n_cells0 + 8)
         corrected_dev = label_components_values(
-            smoothed_dev, connectivity=3,
-            max_labels=max(64, 2 * n_cells0 + 8))
-        n_before, n_after = (int(v) for v in jax.device_get(
-            (jnp.sum(present), jnp.max(corrected_dev))))
+            smoothed_dev, connectivity=3, max_labels=cap)
+        # re-derive the box shape from the CORRECTED segmentation (rides
+        # the same scalar fetch): smoothing + per-z boundary recalc can
+        # grow a cell past its proofed bbox, and fix_labeling_errors can
+        # merge touching cells into one larger component — the stale
+        # box_shape would silently clip those in the second atlas (the
+        # reference recomputes find_objects per extract_regions call,
+        # coord_image_transformer.py:600-623)
+        mins_dev, maxs_dev = find_objects_bounds(corrected_dev, cap)
+        n_before, n_after, mins_np, maxs_np = jax.device_get(
+            (jnp.sum(present), jnp.max(corrected_dev), mins_dev, maxs_dev))
+        n_before, n_after = int(n_before), int(n_after)
         if n_after != n_before:
             print(f"WARNING: cell count changed {n_before} -> "
                   f"{n_after}; segmentation corrected.")
+        ext = np.maximum(np.asarray(maxs_np) - np.asarray(mins_np) + 1, 1)
+        box_shape2 = tuple(int(v) for v in ext.max(axis=0))
 
         self.atlas, auto_dev = self._extract_regions(
             corrected_dev, self.interpolation_factor, smooth_sigma,
-            n_cells=n_after, box_shape=box_shape)
+            n_cells=n_after, box_shape=box_shape2)
         com_dev = center_of_mass(
             (auto_dev > 0).astype(jnp.float32), auto_dev, n_after)
         auto_np, com = jax.device_get((auto_dev.astype(jnp.uint16), com_dev))
@@ -276,7 +287,20 @@ class CoordsToImageTransformer:
                               t1: Optional[int] = None) -> None:
         """``coords``: a Coordinates, or an already-fetched (n, 3) REAL
         ndarray (lets callers batch the device->host fetch with the label
-        image — one RPC instead of two on high-latency links)."""
+        image — one RPC instead of two on high-latency links).
+
+        NOTE the argument order differs from the reference's
+        ``save_tracking_results(coords, labels, tracker, t1, t2,
+        images_path)`` (coord_image_transformer.py:491): ``t2`` comes
+        third here; ``tracker``/``t1`` are optional keywords that, when
+        BOTH given, also write the reference's per-volume matching figure
+        (``figure/matching_<t2>.png``, plot_prgls_prediction)."""
+        if not isinstance(t2, (int, np.integer)):
+            raise TypeError(
+                f"t2 must be an int (got {type(t2).__name__}) — note this "
+                "signature is (coords, labels, t2, images_path=, tracker=, "
+                "t1=), NOT the reference's positional (coords, labels, "
+                "tracker, t1, t2, images_path)")
         real = (np.asarray(coords) if isinstance(coords, np.ndarray)
                 else np.asarray(coords.real))
         self.tree.save_coords_real(t2, real)
@@ -290,3 +314,14 @@ class CoordsToImageTransformer:
                                    self.interpolation_factor)
             except Exception as e:  # visualization must never kill tracking
                 print(f"merged-label figure skipped: {e}")
+        if tracker is not None and t1 is not None:
+            # the reference's matching visualization
+            # (coord_image_transformer.py:516-522)
+            try:
+                from ..viz import save_matching_figure
+                confirmed_t1 = self.tree.load_coords_real(t1)
+                seg_t2 = tracker._get_segmented_pos(t2)
+                save_matching_figure(self.tree, confirmed_t1,
+                                     np.asarray(seg_t2.real), real, t1, t2)
+            except Exception as e:
+                print(f"matching figure skipped: {e}")

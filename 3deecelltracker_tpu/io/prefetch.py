@@ -100,15 +100,23 @@ class VolumePrefetcher:
     def close(self):
         """Stop the workers and release in-flight volumes (idempotent)."""
         self._stop.set()
+
+        def drain():
+            while True:
+                try:
+                    self._q.get_nowait()
+                except queue.Empty:
+                    break
+
         # drain so a worker blocked on the bounded queue can observe the
         # stop flag and exit
-        while True:
-            try:
-                self._q.get_nowait()
-            except queue.Empty:
-                break
+        drain()
         if self._started:
             self._thread.join(timeout=5.0)
+        # a worker mid-put can slip one item into the just-drained queue
+        # before it re-checks the stop flag; drain again AFTER the join so
+        # nothing stays pinned for the life of this object
+        drain()
 
     def __iter__(self) -> Iterator:
         if self._done or self._stop.is_set():

@@ -106,3 +106,50 @@ def test_tracking_accuracy_rejects_collapsed_tracker():
     perm = rng.permutation(n)
     good = {t: truth[t][perm] for t in truth}
     assert tracking_accuracy(good, truth, radius=1e-3)["accuracy"] == 1.0
+
+
+def test_optimize_thresholds_fast_path_matches_full_predict():
+    """The restructured optimize_thresholds runs the backbone once per
+    volume and re-runs only the candidates/NMS/render stage per grid
+    point; its labels must be identical to the full predict_instances
+    pipeline at every grid point."""
+    from t3dct.config import StarDistConfig
+    from t3dct.engine.stardist import StarDist3D
+    from t3dct.engine.metrics import _instances_from_probdist
+
+    cfg = StarDistConfig(n_rays=16, grid=(1, 2, 2),
+                         anisotropy=(2.0, 1.0, 1.0),
+                         unet_n_filter_base=4, net_conv_after_unet=8)
+    model = StarDist3D(cfg, max_candidates=32, render_box=(5, 9, 9))
+    rng = np.random.RandomState(0)
+    x = rng.rand(8, 32, 32).astype(np.float32)
+
+    import jax.numpy as jnp
+    padded, orig_shape = model._pad_input(x)
+    prob_g, dist_g = model._fwd(model.params,
+                                jnp.asarray(padded)[None, ..., None])
+    stage = _instances_from_probdist(model, orig_shape)
+    for prob_t, nms_t in ((0.3, 0.3), (0.5, 0.4)):
+        fast = np.asarray(stage(prob_g[0, ..., 0], dist_g[0],
+                                np.float32(prob_t),
+                                np.float32(nms_t))).astype(np.int32)
+        (full, _), _ = model.predict_instances(x, prob_thresh=prob_t,
+                                               nms_thresh=nms_t)
+        np.testing.assert_array_equal(fast, full)
+
+
+def test_optimize_thresholds_rejects_empty_val():
+    gt = _two_blobs()
+    model = _FakeModel(gt)
+    with pytest.raises(ValueError, match="non-empty"):
+        optimize_thresholds(model, [], [], verbose=False)
+
+
+def test_tracking_accuracy_clear_errors():
+    from t3dct.engine.metrics import tracking_accuracy
+    a = {1: np.zeros((3, 3), np.float32)}
+    b = {2: np.zeros((3, 3), np.float32)}
+    with pytest.raises(ValueError, match="no common time point"):
+        tracking_accuracy(a, b)
+    with pytest.raises(ValueError, match="assign_at"):
+        tracking_accuracy({1: a[1], 2: a[1]}, {1: a[1]}, assign_at=5)

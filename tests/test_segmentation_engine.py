@@ -95,3 +95,36 @@ def test_segment_with_oracle_probabilities(tiny_unet):
     # each found center within 2 voxels of a true center
     d = np.linalg.norm(got_centers[:, None, :2] - want[None, :, :2], axis=2)
     assert (d.min(axis=1) < 2.5).all()
+
+
+def test_adaptive_min_size_cell_num_workflow(tiny_unet, monkeypatch):
+    """Reference workflow parity (tracker.py:681-683): segmenting with
+    method='min_size' learns cell_num, enabling later method='cell_num'
+    segmentation; with no learned value, method='cell_num' raises a
+    clear error instead of deleting every cell."""
+    import jax.numpy as jnp
+    model, params, state = tiny_unet
+    img, centers = synth_volume()
+    cfg = SegmentationConfig(noise_level=20.0, min_size=10, z_xy_ratio=3.0,
+                             shrink=(4, 4, 2))
+    seg = UNetSegmenter(model, params, state, cfg, img.shape, max_cells=64)
+    # synthetic prob map with 4 clean blobs (skip the untrained net)
+    xx, yy, zz = np.mgrid[:img.shape[0], :img.shape[1], :img.shape[2]]
+    prob = np.zeros(img.shape, np.float32)
+    for cx, cy, cz in centers:
+        d2 = (xx - cx) ** 2 + (yy - cy) ** 2 + ((zz - cz) * 3.0) ** 2
+        prob = np.maximum(prob, np.where(d2 < 30.0, 0.95, 0.0))
+    monkeypatch.setattr(seg, "predict_cellregions",
+                        lambda image_raw, cache_path=None: jnp.asarray(prob))
+
+    with pytest.raises(ValueError, match="cell_num"):
+        seg.segment(img, method="cell_num")
+
+    r1 = seg.segment(img, method="min_size")
+    n1 = int(r1.segmentation_auto.max())
+    assert n1 >= 3
+    assert seg.config.cell_num == n1        # learned (tracker.py:683)
+
+    r2 = seg.segment(img, method="cell_num")
+    assert int(r2.segmentation_auto.max()) == n1
+    assert seg.config.min_size > 0          # learned under 'cell_num'

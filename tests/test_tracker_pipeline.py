@@ -184,3 +184,21 @@ def test_track_timelapse_miss_frame_without_artifacts(tmp_path):
         assert np.all(np.isfinite(coords[t]))
     # the missed frame carries the previous coordinates forward
     np.testing.assert_array_equal(coords[3], coords[2])
+
+
+def test_interpolate_preserves_cells_and_voxels(tmp_path):
+    """The second atlas build re-derives box_shape from the CORRECTED
+    segmentation (boundary recalc can grow a cell past its proofed bbox;
+    a stale box would silently clip it).  On a clean scene every label
+    and every foreground voxel must survive interpolate()."""
+    from t3dct.engine.transformer import CoordsToImageTransformer
+    seg = np.zeros((40, 24, 6), np.int32)
+    seg[4:14, 8:16, 1:5] = 1
+    seg[14:24, 8:16, 1:5] = 2          # touches cell 1
+    seg[30:36, 4:10, 1:5] = 3
+    tr = CoordsToImageTransformer(tmp_path, (1.0, 1.0, 2.0))
+    tr.load_segmentation_array(seg)
+    tr.interpolate(interpolation_factor=2, smooth_sigma=1.0)
+    out = tr.auto_corrected_segmentation
+    assert set(np.unique(out)) == {0, 1, 2, 3}
+    assert (out > 0).sum() == (seg > 0).sum()
