@@ -43,7 +43,17 @@ def main():
     trainer.train(X_trn, Y_trn, epochs=args.epochs,
                   steps_per_epoch=args.steps_per_epoch,
                   X_val=X_val, Y_val=Y_val)
-    print(f"saved model to {args.basedir}/{args.model_name}")
+
+    # the reference workflow's final step: tune prob/nms thresholds on
+    # the validation volumes and persist them in the model folder
+    # (stardist 2_training.ipynb optimize_thresholds)
+    model_dir = f"{args.basedir}/{args.model_name}"
+    from t3dct.engine.metrics import optimize_thresholds
+    from t3dct.engine.stardist import StarDist3D
+    model = StarDist3D.load(model_dir)
+    optimize_thresholds(model, X_val, Y_val)
+    model.save(model_dir)
+    print(f"saved model (with optimized thresholds) to {model_dir}")
 
 
 if __name__ == "__main__":
