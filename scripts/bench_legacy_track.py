@@ -58,7 +58,7 @@ WORM4 = Scene(shape=(168, 401, 128), z_ratio=1.0, z_scaling=1,
               maxiter_tk=10, max_cells=192, cell_r=4.0)
 
 
-def build_scene(sc: Scene):
+def build_centers(sc: Scene):
     rng = np.random.RandomState(0)
     centers = []
     while len(centers) < sc.n_cells:
@@ -68,7 +68,20 @@ def build_scene(sc: Scene):
         if all(np.linalg.norm((c - o) * [1, 1, sc.z_ratio]) > 3 * sc.cell_r
                for o in centers):
             centers.append(c)
-    centers0 = np.asarray(centers)
+    return np.asarray(centers), rng
+
+
+def build_gt(sc: Scene, t: int):
+    """True cell centers at volume ``t`` in REAL units (the unjittered
+    motion model of ``build_scene``)."""
+    centers0, _ = build_centers(sc)
+    c = centers0 + 0.8 * np.sin(
+        0.5 * t + np.arange(sc.n_cells)[:, None] * np.array([1, 2, 0.2]))
+    return c * np.array([1, 1, sc.z_ratio])
+
+
+def build_scene(sc: Scene):
+    centers0, rng = build_centers(sc)
     rx = int(2 * sc.cell_r)
     rz = max(int(2 * sc.cell_r / sc.z_ratio), 1)
 
@@ -194,10 +207,21 @@ def run_pair(volume_fn, sc, ensemble, tag, results, old_timed_vols=None):
     k = min(len(new_hist), len(old_hist)) - 1
     dev = float(np.median(np.linalg.norm(new_hist[k] - old_hist[k],
                                          axis=1)))
+    # contextualize the path deviation with each path's error vs the
+    # scene's ground truth at the same volume (t = k+1): with RANDOM FFN
+    # weights and e.g. the worm4 lambda=1e-5 config the EM is nearly
+    # unregularized — the fused-vs-host deviation then measures the
+    # config's chaotic sensitivity, not a path defect, and the GT errors
+    # show both paths land in the same error regime
+    gt = build_gt(sc, k + 1)
+    err_new = float(np.median(np.linalg.norm(new_hist[k] - gt, axis=1)))
+    err_old = float(np.median(np.linalg.norm(old_hist[k] - gt, axis=1)))
     results[tag] = {"fused_ms_per_vol": round(new_ms, 1),
                     "host_loop_ms_per_vol": round(old_ms, 1),
                     "speedup": round(old_ms / new_ms, 2),
-                    "median_coord_dev_fused_vs_host": round(dev, 4)}
+                    "median_coord_dev_fused_vs_host": round(dev, 4),
+                    "median_err_vs_gt_fused": round(err_new, 3),
+                    "median_err_vs_gt_host": round(err_old, 3)}
     print(tag, results[tag], flush=True)
 
 
