@@ -60,29 +60,45 @@ def measure_rpc_latency(n=20):
     return (time.perf_counter() - t0) / n
 
 
-def measure_h2d(nbytes, n=6):
+def measure_h2d(nbytes, n=6, lat=0.0):
     """Host numpy arg riding a jitted execute RPC (the pipeline's upload
-    path), tiny result fetched — isolates the upload direction."""
+    path), tiny result fetched — isolates the upload direction.
+
+    The payload is incompressible (PRNG bytes): a compressing transport
+    would otherwise overstate the bandwidth the pipeline's real
+    image/label data sees.  Each iteration includes one RPC round trip;
+    the measured ``lat`` is subtracted so the bandwidth is not
+    latency-contaminated (the floor formula adds RPC latency
+    separately)."""
     f = jax.jit(lambda a: jnp.sum(a[::4096].astype(jnp.float32)))
-    host = np.zeros(nbytes, np.uint8)
+    host = np.random.default_rng(0).integers(0, 256, nbytes, np.uint8)
     jax.device_get(f(host))             # compile + first execute
     t0 = time.perf_counter()
     for _ in range(n):
         jax.device_get(f(host))
     dt = (time.perf_counter() - t0) / n
-    return nbytes / dt                  # bytes/sec incl. the RPC
+    return nbytes / max(dt - lat, 1e-9)
 
 
-def measure_d2h(nbytes, n=6):
-    """Fetch a device-resident array (the pipeline's artifact path)."""
-    f = jax.jit(lambda s: jnp.zeros(nbytes, jnp.uint8) + s)
-    dev = f(jnp.uint8(1))
-    _sync(dev)
+def measure_d2h(nbytes, n=6, lat=0.0):
+    """Fetch device-resident arrays (the pipeline's artifact path).
+
+    n DISTINCT device arrays, one fetch each: ``jax.Array`` caches the
+    fetched host copy (``_npy_value``), so repeated ``device_get`` of
+    ONE array only transfers the first time — timing that inflated the
+    round-3 d2h number (ADVICE r3).  Content is PRNG bits
+    (incompressible), generated on device so the setup itself does not
+    ride the link."""
+    f = jax.jit(lambda i: jax.random.bits(
+        jax.random.PRNGKey(i), (nbytes,), jnp.uint8))
+    devs = [f(jnp.uint32(i)) for i in range(n)]
+    for d in devs:
+        _sync(d)                        # materialized before timing
     t0 = time.perf_counter()
-    for _ in range(n):
-        np.asarray(jax.device_get(dev))
+    for d in devs:
+        np.asarray(jax.device_get(d))
     dt = (time.perf_counter() - t0) / n
-    return nbytes / dt
+    return nbytes / max(dt - lat, 1e-9)
 
 
 def main():
@@ -91,8 +107,8 @@ def main():
 
     lat = measure_rpc_latency()
     print(f"RPC round-trip: {lat * 1e3:.1f} ms", flush=True)
-    bw_up = measure_h2d(8 * MB)
-    bw_dn = measure_d2h(8 * MB)
+    bw_up = measure_h2d(8 * MB, lat=lat)
+    bw_dn = measure_d2h(8 * MB, lat=lat)
     print(f"h2d {bw_up / MB:.1f} MB/s   d2h {bw_dn / MB:.1f} MB/s",
           flush=True)
 
