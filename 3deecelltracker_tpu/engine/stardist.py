@@ -219,17 +219,54 @@ class StarDist3D:
             self._fused[key] = fn
         return fn
 
+    def _get_fused_batch_sharded(self, orig_shape: Tuple[int, ...],
+                                 batch: int, in_dtype: str, mesh,
+                                 data_axis: str = "data"):
+        """Mesh-sharded variant of :meth:`_get_fused_batch`: the volume
+        batch axis is sharded over ``mesh``'s ``data_axis``, so each
+        device runs the identical per-volume instance program on its
+        shard — in-process data parallelism over volumes (SURVEY §2.3
+        mapping (i); the reference's serial per-volume loop is
+        stardistwrapper.py:94).  Outputs stay batch-sharded; the host
+        gather happens in the saver's ``device_get``."""
+        from jax.sharding import NamedSharding, PartitionSpec
+
+        key = ("fusedB_sharded", tuple(orig_shape), batch, in_dtype,
+               mesh, data_axis)
+        fn = self._fused.get(key)
+        if fn is None:
+            body = self._make_instance_body(orig_shape, False)
+            data = NamedSharding(mesh, PartitionSpec(data_axis))
+            repl = NamedSharding(mesh, PartitionSpec())
+            fn = jax.jit(
+                lambda params, xs, mis, mas, pt, nt: jax.vmap(
+                    lambda x, mi, ma: body(params, x, mi, ma, pt, nt))(
+                        xs, mis, mas),
+                in_shardings=(repl, data, data, data, repl, repl),
+                out_shardings=data)
+            self._fused[key] = fn
+        return fn
+
     def _predict_batch_device(self, xs, mis, mas,
                               prob_thresh: Optional[float] = None,
-                              nms_thresh: Optional[float] = None):
+                              nms_thresh: Optional[float] = None,
+                              mesh=None, data_axis: str = "data"):
         """Dispatch B stacked volumes (device or host arrays); returns the
-        batched device tuple (no host sync)."""
+        batched device tuple (no host sync).  With ``mesh``, the batch
+        axis is sharded over the mesh's ``data_axis`` (B must be a
+        multiple of that axis; ``predict_and_save`` pads its groups)."""
         if prob_thresh is None:
             prob_thresh = self._thresholds["prob"]
         if nms_thresh is None:
             nms_thresh = self._thresholds["nms"]
-        fused = self._get_fused_batch(tuple(xs.shape[1:]), int(xs.shape[0]),
-                                      np.dtype(xs.dtype).str)
+        if mesh is not None:
+            fused = self._get_fused_batch_sharded(
+                tuple(xs.shape[1:]), int(xs.shape[0]),
+                np.dtype(xs.dtype).str, mesh, data_axis)
+        else:
+            fused = self._get_fused_batch(tuple(xs.shape[1:]),
+                                          int(xs.shape[0]),
+                                          np.dtype(xs.dtype).str)
         # np arrays/scalars ride inside the (async) execute call — explicit
         # device_put would cost a synchronous upload RPC each
         return fused(self.params, xs, np.asarray(mis, np.float32),
@@ -272,30 +309,84 @@ class StarDist3D:
         return kept, probs, dists, points, prob_map, labels_dev
 
     def _finalize_instances(self, device_tuple):
-        """ONE device->host transfer + host-side selection."""
+        """ONE device->host transfer + host-side selection.
+
+        ``dists`` may be None (the artifact savers skip fetching it —
+        ~100 KB/volume of d2h the seg artifacts never use); the returned
+        ``details["dist"]`` is then None."""
         fetched = jax.device_get(device_tuple)
         kept_np, probs_np, dists_np, points_np, prob_map_np, labels = fetched
         if labels is not None and labels.dtype == np.uint16:
             labels = np.asarray(labels, np.int32)   # u16 is wire format only
         prob_map_np = np.asarray(prob_map_np, np.float32)
-        order = np.argsort(-np.where(kept_np, probs_np, -np.inf))
+        # stable: tied probs (e.g. saturated sigmoids) keep candidate
+        # order, matching the device-side adapter
+        # (pipeline.seg_candidates_to_padded_real) bit-for-bit
+        order = np.argsort(-np.where(kept_np, probs_np, -np.inf),
+                           kind="stable")
         sel = order[: int(kept_np.sum())]
         details: Dict[str, np.ndarray] = {
             "points": points_np[sel],
             "prob": probs_np[sel],
-            "dist": dists_np[sel],
+            "dist": dists_np[sel] if dists_np is not None else None,
             "rays_vertices": np.asarray(self.rays),
         }
         return (labels, details), prob_map_np
 
+    def predict(self, x: np.ndarray) -> Tuple[np.ndarray, np.ndarray]:
+        """Dense network outputs (upstream ``StarDist3D.predict``
+        semantics, the ``sparse=False`` branch of
+        ``stardist3dcustom.py:116-126``): full ``(prob (gz, gy, gx),
+        dist (gz, gy, gx, n_rays))`` volumes at GRID resolution with the
+        div-by padding cropped (``resizer.after`` undoes padding but not
+        the grid)."""
+        padded, orig_shape = self._pad_input(np.asarray(x, np.float32))
+        prob_g, dist_g = self._fwd(
+            self.params, jnp.asarray(padded)[None, ..., None])
+        gshape = tuple(-(-s // g) for s, g in zip(orig_shape,
+                                                  self.config.grid))
+        prob, dist = jax.device_get(
+            (prob_g[0, :gshape[0], :gshape[1], :gshape[2], 0],
+             dist_g[0, :gshape[0], :gshape[1], :gshape[2], :]))
+        return np.asarray(prob), np.asarray(dist)
+
     def predict_instances(self, x: np.ndarray,
                           prob_thresh: Optional[float] = None,
                           nms_thresh: Optional[float] = None,
-                          return_labels: bool = True):
+                          return_labels: bool = True,
+                          sparse: bool = True,
+                          return_predict: bool = False):
         """((labels, details), prob_map) — reference
-        ``StarDist3DCustom.predict_instances`` (stardist3dcustom.py:152)."""
-        return self._finalize_instances(self._predict_instances_device(
-            x, prob_thresh, nms_thresh, return_labels))
+        ``StarDist3DCustom.predict_instances`` (stardist3dcustom.py:152).
+
+        ``sparse=False``: ALSO materializes the dense prob/dist volumes;
+        ``prob_map`` is then the full-precision dense prob (the sparse
+        path's prob_map rides the link f16-quantized).  The instances are
+        identical either way — sparse vs dense is a memory strategy, not
+        a different algorithm.
+
+        ``return_predict=True`` (implies ``sparse=False``, with the
+        reference's warning): returns ``((labels, details), (prob, dist),
+        prob_map)``.  NOTE the reference's OWN dense branch cannot
+        execute — ``stardist3dcustom.py:126`` pads the upstream
+        ``(prob, dist)`` pair to 3 elements and :131 unpacks 4, raising
+        ValueError — so this implements the documented intent
+        (stardist3dcustom.py:75-84,147) rather than the (crashing)
+        letter of the code."""
+        if return_predict and sparse:
+            import warnings
+            warnings.warn(
+                "Setting sparse to False because return_predict is True")
+            sparse = False
+        instances, prob_map = self._finalize_instances(
+            self._predict_instances_device(
+                x, prob_thresh, nms_thresh, return_labels))
+        if sparse:
+            return instances, prob_map
+        prob, dist = self.predict(x)
+        if return_predict:
+            return instances, (prob, dist), prob
+        return instances, prob
 
     # ---- tiled prediction (large volumes) ----------------------------------
     def _make_tile_fn(self, tiles, shr, vol, k_tile):
@@ -716,7 +807,9 @@ def predict_and_save(images_path, model: StarDist3D,
                      tile_candidates: int = 256,
                      tile_batch: int = 8,
                      shrink=None,
-                     should_stop=None) -> None:
+                     should_stop=None,
+                     mesh=None,
+                     data_axis: str = "data") -> None:
     """Segment every volume and persist seg/ artifacts
     (``stardistwrapper.predict_and_save`` :75-111): coords saved (y, x, z)
     -> the pipeline's (x, y, z) frame, prob_map transposed to (x, y, z).
@@ -743,6 +836,19 @@ def predict_and_save(images_path, model: StarDist3D,
     driver (volumes too large for one device program).
     ``tile_candidates``/``tile_batch``/``shrink`` pass through to it.
 
+    ``mesh``: optional ``jax.sharding.Mesh`` — IN-PROCESS data
+    parallelism over volumes: each dispatch group's batch axis is
+    sharded over the mesh's ``data_axis``, so all local devices segment
+    different volumes of the group concurrently (identical artifacts to
+    the sequential sweep, SURVEY §2.3 mapping (i)).  ``batch_size``
+    rounds up to a multiple of the axis size; the first volume (label
+    render for ``auto_vol1``) still runs the single-device program.
+    Composes with ``volumes=`` multi-host sharding: shard the time range
+    across hosts, then each host fans its shard out over its mesh.
+    Mutually exclusive with ``tile_shape`` (use
+    :meth:`StarDist3D.predict_instances_sharded` to shard TILES of one
+    huge volume instead).
+
     Pipelined: input volumes prefetch on one thread (raw dtype, with the
     1/99.8 normalization percentiles computed there too — normalization
     itself runs on device, halving upload bytes for uint16 data), device
@@ -763,13 +869,22 @@ def predict_and_save(images_path, model: StarDist3D,
     t_max, t_min = get_t_range(images_path)
     work = list(volumes) if volumes is not None else \
         list(range(t_min, t_max + 1))
+    if mesh is not None:
+        if tile_shape is not None:
+            raise ValueError(
+                "mesh= and tile_shape= are mutually exclusive; shard "
+                "tiles of huge volumes via predict_instances_sharded")
+        # groups must fill the data axis so every device gets volumes
+        axis = int(mesh.shape[data_axis])
+        batch_size = -(-int(batch_size) // axis) * axis
 
     def _load_raw(t):
         x = load_2d_slices_at_time(images_path, t=t, do_normalize=False)
         mi, ma = np.percentile(x, [1.0, 99.8])
-        if tile_shape is not None:
+        if tile_shape is not None or mesh is not None:
             # tiled path: predict_instances_tiled pads + uploads the
-            # volume itself (device-resident tile slicing)
+            # volume itself (device-resident tile slicing); mesh path:
+            # the stacked group is device_put with the batch sharding
             return x, float(mi), float(ma)
         # the h2d upload happens here ON the prefetch thread, overlapping
         # the (link-latency-bound) transfer with the previous volume's
@@ -839,16 +954,24 @@ def predict_and_save(images_path, model: StarDist3D,
                 return
             ts, device_tuple = item
             try:
+                # dists are never part of the seg artifacts — skipping
+                # them saves ~100 KB/volume of d2h (max_candidates x
+                # n_rays x f32)
                 if isinstance(ts, tuple):
                     # batched: ONE fetch RPC for all B volumes
-                    kept, probs, dists, points, prob_map = \
-                        jax.device_get(device_tuple)
+                    kept, probs, points, prob_map = jax.device_get(
+                        (device_tuple[0], device_tuple[1],
+                         device_tuple[3], device_tuple[4]))
                     for i, t in enumerate(ts):
                         _write_one(t, model._finalize_instances(
-                            (kept[i], probs[i], dists[i], points[i],
+                            (kept[i], probs[i], None, points[i],
                              prob_map[i], None)))
                 else:
-                    _write_one(ts, model._finalize_instances(device_tuple))
+                    kept, probs, points, prob_map, labels = jax.device_get(
+                        (device_tuple[0], device_tuple[1], device_tuple[3],
+                         device_tuple[4], device_tuple[5]))
+                    _write_one(ts, model._finalize_instances(
+                        (kept, probs, None, points, prob_map, labels)))
             except Exception as e:   # surface on the main thread
                 errors.append(e)
 
@@ -867,10 +990,17 @@ def predict_and_save(images_path, model: StarDist3D,
         # volume (outputs dropped): one program shape -> one remote
         # compile, instead of a fresh 10-30 s compile per tail size
         padded = group + [group[-1]] * (batch_size - len(group))
-        # the stack is a device-side op over already-uploaded volumes
-        xs = jnp.stack([g[1] for g in padded])
+        if mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec
+            xs = jax.device_put(
+                np.stack([g[1] for g in padded]),
+                NamedSharding(mesh, PartitionSpec(data_axis)))
+        else:
+            # the stack is a device-side op over already-uploaded volumes
+            xs = jnp.stack([g[1] for g in padded])
         out = model._predict_batch_device(
-            xs, [g[2] for g in padded], [g[3] for g in padded])
+            xs, [g[2] for g in padded], [g[3] for g in padded],
+            mesh=mesh, data_axis=data_axis)
         save_q.put((tuple(g[0] for g in group), out))
         done_t = group[-1][0]
         group.clear()

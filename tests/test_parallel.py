@@ -179,3 +179,46 @@ def test_multihost_scaffolding_single_process():
     arr = np.arange(8 * 4, dtype=np.float32).reshape(8, 4)
     g = mh.global_batch_from_local(mesh, arr, P("data"))
     np.testing.assert_array_equal(np.asarray(g), arr)
+
+
+@pytest.mark.slow
+def test_predict_and_save_mesh_matches_sequential(tmp_path):
+    """predict_and_save(mesh=...): in-process DP over volumes (SURVEY
+    §2.3 mapping (i)) must write IDENTICAL seg/ artifacts to the
+    sequential sweep."""
+    from t3dct.config import StarDistConfig
+    from t3dct.engine.stardist import StarDist3D, predict_and_save
+    from t3dct.io.imageio import save_label_slices
+
+    shape = (8, 32, 32)
+    rng = np.random.RandomState(0)
+    raw_dir = tmp_path / "raw"
+    for t in range(1, 7):           # 6 volumes: one full + one tail group
+        img = (rng.rand(*shape) * 40000).astype(np.uint16)
+        save_label_slices(img.transpose(1, 2, 0), raw_dir,
+                          "raw_t%03i_z%04i.tif", t, use_8_bit=False,
+                          compression=None)
+
+    cfg = StarDistConfig(n_rays=8, grid=(1, 2, 2), unet_n_depth=1,
+                         unet_n_filter_base=4, net_conv_after_unet=8,
+                         train_patch_size=shape, prob_thresh=0.4)
+    model = StarDist3D(cfg, max_candidates=16, render_box=(5, 9, 9),
+                       rng=jax.random.PRNGKey(0))
+
+    images_path = str(raw_dir / "raw_t%03i_z*.tif")
+    predict_and_save(images_path, model, tmp_path / "seq")
+    mesh = make_mesh(4, 1)
+    predict_and_save(images_path, model, tmp_path / "mesh", mesh=mesh)
+
+    for t in range(1, 7):
+        ca = np.load(tmp_path / "seq" / "seg" / f"coords{t:06d}.npy")
+        cb = np.load(tmp_path / "mesh" / "seg" / f"coords{t:06d}.npy")
+        np.testing.assert_array_equal(ca, cb, err_msg=f"coords t={t}")
+        pa = np.load(tmp_path / "seq" / "seg" / f"prob{t:06d}.npy")
+        pb = np.load(tmp_path / "mesh" / "seg" / f"prob{t:06d}.npy")
+        np.testing.assert_array_equal(pa, pb, err_msg=f"prob t={t}")
+    assert (tmp_path / "mesh" / "auto_vol1" / "auto_vol1_z0001.tif").exists()
+
+    with pytest.raises(ValueError, match="mutually exclusive"):
+        predict_and_save(images_path, model, tmp_path / "bad",
+                         mesh=mesh, tile_shape=(None, 16, 16))

@@ -271,3 +271,142 @@ def test_segment_and_track_concurrent_ensemble(tmp_path):
     assert set(coords) == set(range(1, N_VOLS + 1))
     for t in range(1, N_VOLS + 1):
         assert np.all(np.isfinite(coords[t]))
+
+
+def _write_recording(tmp_path):
+    raw_dir = tmp_path / "raw"
+    for t in range(1, N_VOLS + 1):
+        img, lab, _ = _volume_at(t)
+        img16 = (img / img.max() * 40000).astype(np.uint16)
+        save_label_slices(img16.transpose(1, 2, 0), raw_dir,
+                          "raw_t%03i_z%04i.tif", t, use_8_bit=False,
+                          compression=None)
+    _, lab1, _ = _volume_at(1)
+    return raw_dir, lab1
+
+
+def _small_model_and_ffn():
+    import jax
+    from t3dct.engine.stardist import StarDist3D
+    from t3dct.models.ffn import FFN
+
+    cfg = StarDistConfig(n_rays=8, grid=(1, 2, 2),
+                         anisotropy=(Z_RATIO, 1.0, 1.0), unet_n_depth=1,
+                         unet_n_filter_base=4, net_conv_after_unet=8,
+                         train_patch_size=SHAPE_ZYX, prob_thresh=0.6)
+    model = StarDist3D(cfg, max_candidates=16, render_box=(5, 9, 9),
+                       rng=jax.random.PRNGKey(0))
+    ffn_w = FFN().init(jax.random.PRNGKey(1))
+    return model, ffn_w
+
+
+@pytest.mark.slow
+def test_segment_and_track_device_handoff_parity(tmp_path):
+    """handoff='device' (tracking fed from the seg program's device
+    outputs, VERDICT r3 #1) must produce the IDENTICAL artifact tree and
+    coordinates as the disk-coupled composition."""
+    from glob import glob
+
+    from t3dct.engine.pipeline import segment_and_track
+    from t3dct.io.imageio import imread_stack
+
+    raw_dir, lab1 = _write_recording(tmp_path)
+    model, ffn_w = _small_model_and_ffn()
+
+    results = {}
+    coords = {}
+    for handoff in ("disk", "device"):
+        res = tmp_path / f"results_{handoff}"
+        save_label_slices(lab1.transpose(1, 2, 0), res / "manual_vol1",
+                          "manual_vol1_t%04i_z%04i.tif", 0, use_8_bit=True,
+                          compression=None)
+        coords[handoff] = segment_and_track(
+            str(raw_dir / "raw_t%03i_z*.tif"), model, res,
+            str(res / "manual_vol1" / "*.tif"), ffn_w,
+            voxel_size=(1, 1, Z_RATIO), interpolation_factor=2,
+            t_range=(1, N_VOLS),
+            config=TrackingConfig(beta=10.0, lambda_=3.0, max_iteration=50),
+            verbose=False, handoff=handoff)
+        results[handoff] = res
+
+    assert set(coords["device"]) == set(coords["disk"])
+    for t in range(1, N_VOLS + 1):
+        a, b = results["disk"], results["device"]
+        # seg artifacts: identical resume contract
+        ca = np.load(a / "seg" / f"coords{t:06d}.npy")
+        cb = np.load(b / "seg" / f"coords{t:06d}.npy")
+        np.testing.assert_array_equal(ca, cb, err_msg=f"seg coords t={t}")
+        pa = np.load(a / "seg" / f"prob{t:06d}.npy")
+        pb = np.load(b / "seg" / f"prob{t:06d}.npy")
+        np.testing.assert_array_equal(pa, pb, err_msg=f"seg prob t={t}")
+        # tracked coordinates: bit-identical recurrence
+        np.testing.assert_array_equal(coords["disk"][t],
+                                      coords["device"][t],
+                                      err_msg=f"tracked coords t={t}")
+        if t > 1:
+            ra = np.load(a / "track_results" / "coords_real" /
+                         ("coords%06d.npy" % t))
+            rb = np.load(b / "track_results" / "coords_real" /
+                         ("coords%06d.npy" % t))
+            np.testing.assert_array_equal(ra, rb)
+        la = imread_stack(sorted(glob(str(
+            a / "track_results" / "labels" / f"*t{t:06d}*.tif"))))
+        lb = imread_stack(sorted(glob(str(
+            b / "track_results" / "labels" / f"*t{t:06d}*.tif"))))
+        np.testing.assert_array_equal(la, lb, err_msg=f"labels t={t}")
+    # auto_vol1 labels written by both
+    for res in results.values():
+        assert (res / "auto_vol1" / "auto_vol1_z0001.tif").exists()
+
+
+@pytest.mark.slow
+def test_segment_and_track_device_handoff_truncation_and_miss(tmp_path):
+    """Device handoff keeps the composition's failure semantics: a
+    truncated recording raises the clear RuntimeError, and miss frames
+    freeze tracking while pairing the next volume with the last good
+    frame."""
+    from t3dct.engine.pipeline import segment_and_track
+
+    raw_dir, lab1 = _write_recording(tmp_path)
+    model, ffn_w = _small_model_and_ffn()
+
+    res = tmp_path / "res_miss"
+    save_label_slices(lab1.transpose(1, 2, 0), res / "manual_vol1",
+                      "manual_vol1_t%04i_z%04i.tif", 0, use_8_bit=True,
+                      compression=None)
+    coords = segment_and_track(
+        str(raw_dir / "raw_t%03i_z*.tif"), model, res,
+        str(res / "manual_vol1" / "*.tif"), ffn_w,
+        voxel_size=(1, 1, Z_RATIO), interpolation_factor=2,
+        t_range=(1, N_VOLS), miss_frame=[2],
+        config=TrackingConfig(beta=10.0, lambda_=3.0, max_iteration=50),
+        verbose=False, handoff="device")
+    # miss frame froze at the seed positions; seg artifacts still written
+    np.testing.assert_array_equal(coords[2], coords[1])
+    assert (res / "seg" / "coords000002.npy").exists()
+    assert not (res / "track_results" / "coords_real" /
+                "coords000002.npy").exists()
+    assert np.all(np.isfinite(coords[3]))
+
+    res2 = tmp_path / "res_trunc"
+    save_label_slices(lab1.transpose(1, 2, 0), res2 / "manual_vol1",
+                      "manual_vol1_t%04i_z%04i.tif", 0, use_8_bit=True,
+                      compression=None)
+    with pytest.raises(RuntimeError, match="segmentation ended at t="):
+        segment_and_track(
+            str(raw_dir / "raw_t%03i_z*.tif"), model, res2,
+            str(res2 / "manual_vol1" / "*.tif"), ffn_w,
+            voxel_size=(1, 1, Z_RATIO), interpolation_factor=2,
+            t_range=(1, N_VOLS + 2),
+            config=TrackingConfig(beta=10.0, lambda_=3.0,
+                                  max_iteration=50),
+            verbose=False, handoff="device")
+
+    with pytest.raises(ValueError, match="single mode"):
+        segment_and_track(
+            str(raw_dir / "raw_t%03i_z*.tif"), model, res2,
+            str(res2 / "manual_vol1" / "*.tif"), ffn_w,
+            voxel_size=(1, 1, Z_RATIO), interpolation_factor=2,
+            t_range=(1, N_VOLS),
+            config=TrackingConfig(ensemble=True),
+            verbose=False, handoff="device")

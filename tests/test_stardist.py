@@ -184,6 +184,44 @@ def test_predict_instances_end_to_end(small_model):
         assert (np.diff(details["prob"]) <= 1e-6).all()
 
 
+def test_predict_instances_dense_and_return_predict(small_model):
+    """The sparse=False / return_predict branch
+    (stardist3dcustom.py:77-93,116-150): full prob/dist volumes next to
+    the identical instances."""
+    rng = np.random.RandomState(1)
+    x = rng.rand(10, 40, 37).astype(np.float32)
+    (labels_s, det_s), prob_map_s = small_model.predict_instances(x)
+
+    # dense: same ((labels, details), prob_map) contract, full-precision
+    # prob_map
+    (labels_d, det_d), prob_d = small_model.predict_instances(x,
+                                                              sparse=False)
+    np.testing.assert_array_equal(labels_s, labels_d)
+    np.testing.assert_array_equal(det_s["points"], det_d["points"])
+    assert prob_d.shape == (10, 20, 19)
+    assert prob_d.dtype == np.float32
+    # sparse prob_map is the f16-quantized wire copy of the same values
+    np.testing.assert_allclose(prob_map_s, prob_d, atol=1e-3)
+
+    # model.predict: dense network outputs at grid resolution
+    prob, dist = small_model.predict(x)
+    np.testing.assert_array_equal(prob, prob_d)
+    assert dist.shape == (10, 20, 19, 32)
+    # candidate dists come from these dense maps (modulo the 1e-3 floor)
+    pz, py, px = (det_s["points"] // np.array([1, 2, 2])).T
+    np.testing.assert_allclose(
+        det_s["dist"], np.maximum(dist[pz, py, px], 1e-3), rtol=1e-5)
+
+    # return_predict forces dense with the reference's warning
+    with pytest.warns(UserWarning, match="sparse to False"):
+        (labels_r, _), (prob_r, dist_r), pm = \
+            small_model.predict_instances(x, return_predict=True)
+    np.testing.assert_array_equal(labels_r, labels_s)
+    np.testing.assert_array_equal(prob_r, prob)
+    np.testing.assert_array_equal(dist_r, dist)
+    np.testing.assert_array_equal(pm, prob)
+
+
 def test_configure_heuristics():
     lab = np.zeros((32, 64, 64), np.int32)
     lab[4:8, 10:22, 10:22] = 1      # z-extent 4, y/x 12 -> anisotropy z=3
@@ -330,3 +368,24 @@ def test_predict_and_save_tiled_recording(tmp_path, small_model):
     assert (tmp_path / "tiled" / "auto_vol1").exists()
     pt = np.load(tmp_path / "tiled" / "seg" / "prob000001.npy")
     assert pt.dtype == np.float32 and pt.ndim == 3
+
+
+@pytest.mark.slow
+def test_nms_overlap_oracle_flip_rate():
+    """Pinned NMS exactness audit (small edition of
+    scripts/nms_overlap_audit.py): at the shipped sampling defaults the
+    greedy-NMS keep/suppress decisions must MATCH a volume-unbiased
+    supersampled oracle on a realistic anisotropic candidate cluster
+    (thresh 0.3 and 0.4).  Full measured bounds: scripts/nms_audit.json."""
+    import sys
+    from pathlib import Path
+
+    sys.path.insert(0, str(Path(__file__).parent.parent / "scripts"))
+    from nms_overlap_audit import audit_scene
+
+    for kind, seed in (("worm", 0), ("zebrafish", 2)):
+        r = audit_scene(kind, n=24, seed=seed, step=0.4)
+        assert r["flips_at_0.3"] == 0, r
+        assert r["flips_at_0.4"] == 0, r
+        assert r["neighbor_cap_misses_gt_0.05"] == 0, r
+        assert r["p95_abs_err"] < 0.12, r
