@@ -181,16 +181,22 @@ class TrainFFN:
         gen = iter(self.points_generator)
         end_epoch = self.current_epoch + num_epochs
         for epoch in range(self.current_epoch, end_epoch):
-            total, n = 0.0, 0
+            # losses stay ON DEVICE until the epoch ends: float(loss)
+            # per step is a blocking round-trip that serializes the
+            # pipeline through a remote device link (see
+            # train_stardist.py for the measured cost)
+            step_losses, n = [], 0
             for x, y in gen:
                 self.params, self.bn_state, self.opt_state, loss = \
                     self._train_step(self.params, self.bn_state,
                                      self.opt_state, jnp.asarray(x),
                                      jnp.asarray(y))
-                total += float(loss)
+                step_losses.append(loss)
                 n += 1
                 if n > iteration:   # iteration+1 steps/epoch — the
                     break           # reference's own loop (ffn.py:208)
+            total = float(jax.device_get(jnp.sum(jnp.stack(step_losses)))
+                          ) if step_losses else 0.0
             losses.append(total / max(n, 1))
             if verbose:
                 print(f"Epoch {epoch}: train loss {losses[-1]:.4f}")

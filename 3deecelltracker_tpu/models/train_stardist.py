@@ -67,11 +67,21 @@ class TrainStarDist3D:
                  dist_loss_weight: float = 0.2,
                  max_dist: int = 32, seed: int = 0,
                  batch_size: int = 2,
+                 prob_fg_weight: float = 1.0,
                  mesh=None, data_axis: str = "data"):
         """``batch_size``: patches per step (reference train_batch_size=2,
         stardistwrapper.py:258).  ``mesh``: optional jax.sharding.Mesh — the
         patch batch is sharded over ``data_axis`` (params replicated,
-        gradients all-reduced by XLA SPMD)."""
+        gradients all-reduced by XLA SPMD).
+
+        ``prob_fg_weight``: foreground weight in the prob BCE (weighted
+        sum normalized by the total weight).  1.0 = the reference's plain
+        mean BCE (stardist's default loss).  Worm-like scenes have <1%
+        foreground voxels, where plain mean BCE collapses to the all-zero
+        trivial solution under short training budgets (measured: 240
+        steps at worm scale predicts prob<=0.06 everywhere); a weight of
+        O(1/fg_fraction) (e.g. 64) makes the same budget converge.  An
+        EXTENSION knob, not a reference behavior change."""
         self.config = config
         self.net = StarDist3DNet(config)
         self.params = self.net.init(jax.random.PRNGKey(seed))
@@ -87,6 +97,7 @@ class TrainStarDist3D:
         self.rays = jnp.asarray(
             rays_golden_spiral(config.n_rays, config.anisotropy))
         self.dist_loss_weight = dist_loss_weight
+        self.prob_fg_weight = float(prob_fg_weight)
         self.max_dist = max_dist
         self.basedir = Path(basedir)
         self.model_name = model_name
@@ -125,7 +136,12 @@ class TrainStarDist3D:
         eps = 1e-7
         p = jnp.clip(prob, eps, 1 - eps)
         y = prob_gt
-        loss_prob = -jnp.mean(y * jnp.log(p) + (1 - y) * jnp.log(1 - p))
+        bce = -(y * jnp.log(p) + (1 - y) * jnp.log(1 - p))
+        if self.prob_fg_weight != 1.0:
+            w_fg = 1.0 + (self.prob_fg_weight - 1.0) * (y > 0)
+            loss_prob = jnp.sum(w_fg * bce) / jnp.sum(w_fg)
+        else:
+            loss_prob = jnp.mean(bce)
         w = prob_gt[..., None]
         loss_dist = jnp.sum(w * jnp.abs(dist - dist_gt)) / \
             (jnp.sum(w) * dist.shape[-1] + eps)
@@ -198,7 +214,11 @@ class TrainStarDist3D:
         best_val, best_params, plateau = np.inf, None, 0
         losses = []
         for epoch in range(1, epochs + 1):
-            total = 0.0
+            # losses stay ON DEVICE until the epoch ends: float(loss)
+            # per step forces a blocking round-trip that serializes
+            # dispatch -> compute -> fetch (measured 4.5 s/step through
+            # the tunneled dev link vs ~0.3 s with the per-epoch sync)
+            step_losses = []
             for _ in range(steps_per_epoch):
                 pairs = [self._sample_patch(X, Y)
                          for _ in range(self.batch_size)]
@@ -216,7 +236,9 @@ class TrainStarDist3D:
                                               self._batch_sharding)
                 self.params, self.opt_state, loss = self._step(
                     self.params, self.opt_state, xb, prob_gt, dist_gt)
-                total += float(loss)
+                step_losses.append(loss)
+            total = float(jax.device_get(
+                jnp.sum(jnp.stack(step_losses))))
             losses.append(total / steps_per_epoch)
             msg = f"epoch {epoch}: loss {losses[-1]:.4f}"
             if val_batches:

@@ -497,3 +497,112 @@ def draw_segmentation_max_projection(image3d, labels3d, path: Optional[str]
         fig.savefig(path, facecolor="white")
         plt.close(fig)
     return fig
+
+
+# ---- legacy name-parity plot helpers (track.py:412-471,
+# coord_image_transformer.py:760-779) --------------------------------------
+
+def plot_arrow(ax, x1, y1, x2, y2):
+    """Wedge arrow in axes-fraction coordinates (track.py:412-417)."""
+    return ax.annotate("", xy=(x2, y2), xycoords="axes fraction",
+                       xytext=(x1, y1), textcoords="axes fraction",
+                       arrowprops=dict(arrowstyle="wedge", color="C0"))
+
+
+def plot_tracking_2d(T_ref, ax, draw_point, ref_ptrs, tgt_ptrs,
+                     x_axis, y_axis, sizes):
+    """Tracking arrows between two point sets in LAYER coordinates
+    (track.py:420-433): reference points as hollow red circles, targets
+    as blue crosses, per-point wedge arrows in axes-fraction units
+    normalized by ``sizes``."""
+    element = []
+    ax.invert_yaxis()
+    if draw_point:
+        element.append(ax.scatter(ref_ptrs[:, x_axis], ref_ptrs[:, y_axis],
+                                  facecolors="none", edgecolors="r"))
+        element.append(ax.plot(tgt_ptrs[:, x_axis], tgt_ptrs[:, y_axis],
+                               "bx")[0])
+    for src, dst in zip(np.asarray(ref_ptrs), np.asarray(T_ref)):
+        element.append(plot_arrow(
+            ax, x1=src[x_axis] / sizes[0], y1=1 - src[y_axis] / sizes[1],
+            x2=dst[x_axis] / sizes[0], y2=1 - dst[y_axis] / sizes[1]))
+    ax.axis("equal")
+    return element
+
+
+def plot_tracking_2d_realcoord(T_ref, ax, draw_point, ref_ptrs, tgt_ptrs,
+                               x_axis, y_axis):
+    """Tracking arrows in REAL-resolution coordinates (track.py:435-451)."""
+    element = []
+    ax.invert_yaxis()
+    if draw_point:
+        element.append(ax.scatter(ref_ptrs[:, x_axis], ref_ptrs[:, y_axis],
+                                  facecolors="none", edgecolors="r"))
+        element.append(ax.plot(tgt_ptrs[:, x_axis], tgt_ptrs[:, y_axis],
+                               "bx")[0])
+    for src, dst in zip(np.asarray(ref_ptrs), np.asarray(T_ref)):
+        element.append(ax.arrow(
+            x=src[x_axis], y=src[y_axis],
+            dx=dst[x_axis] - src[x_axis], dy=dst[y_axis] - src[y_axis],
+            color="C0", length_includes_head=True, head_length=4,
+            head_width=3))
+    ax.axis("equal")
+    return element
+
+
+def tracking_plot_xy(ax, ref_ptrs, tgt_ptrs, T_ref, yx_sizes,
+                     draw_point=True, layercoord=False):
+    """x-y plane tracking plot (track.py:454-462)."""
+    if layercoord:
+        return plot_tracking_2d(T_ref, ax, draw_point, ref_ptrs, tgt_ptrs,
+                                1, 0, yx_sizes)
+    return plot_tracking_2d_realcoord(T_ref, ax, draw_point, ref_ptrs,
+                                      tgt_ptrs, 1, 0)
+
+
+def tracking_plot_zx(ax, ref_ptrs, tgt_ptrs, T_ref, yz_sizes,
+                     draw_point=True, layercoord=True):
+    """z-x plane tracking plot (track.py:465-471)."""
+    if layercoord:
+        return plot_tracking_2d(T_ref, ax, draw_point, ref_ptrs, tgt_ptrs,
+                                1, 2, yz_sizes)
+    return plot_tracking_2d_realcoord(T_ref, ax, draw_point, ref_ptrs,
+                                      tgt_ptrs, 1, 2)
+
+
+def FFN_matching_plot(ref_ptrs, tgt_ptrs, initial_match_score):
+    """(Deprecated from reference v0.3, track.py:474-498) greedy-peel
+    visualization of an FFN score matrix: targets shifted up by twice
+    their y-extent, red links for every match peeled above 0.5."""
+    ref_ptrs = np.asarray(ref_ptrs)
+    tgt_shift = np.asarray(tgt_ptrs).copy()
+    bias = (tgt_shift[:, 0].max() - tgt_shift[:, 0].min()) * 2
+    tgt_shift[:, 0] += bias
+    fig = plt.figure(figsize=(9, 9))
+    plt.scatter(ref_ptrs[:, 1], -ref_ptrs[:, 0], facecolors="none",
+                edgecolors="r")
+    plt.plot(tgt_shift[:, 1], -tgt_shift[:, 0], "x")
+    plt.axis("equal")
+    scores = np.array(initial_match_score, copy=True)
+    for _ in range(ref_ptrs.shape[0]):
+        if scores.max() < 0.5:
+            break
+        tgt_i, ref_i = np.unravel_index(scores.argmax(), scores.shape)
+        plt.plot([ref_ptrs[ref_i, 1], tgt_shift[tgt_i, 1]],
+                 [-ref_ptrs[ref_i, 0], -tgt_shift[tgt_i, 0]], "r-")
+        scores[tgt_i, :] = 0
+        scores[:, ref_i] = 0
+    return fig
+
+
+def unify_xy_lims(ax1, ax2):
+    """Give two axes identical x/y limits
+    (coord_image_transformer.py:760-779)."""
+    x_lim = [min(ax1.get_xlim()[0], ax2.get_xlim()[0]),
+             max(ax1.get_xlim()[1], ax2.get_xlim()[1])]
+    y_lim = [min(ax1.get_ylim()[0], ax2.get_ylim()[0]),
+             max(ax1.get_ylim()[1], ax2.get_ylim()[1])]
+    ax1.set_xlim(x_lim)
+    ax1.set_ylim(y_lim)
+    ax2.set_xlim(x_lim)
+    ax2.set_ylim(y_lim)

@@ -49,7 +49,7 @@ def train_real_model(raw_dir: Path, lab1, out: Path):
     cfg = StarDistConfig(n_rays=96, grid=GRID, anisotropy=(9.2, 1.0, 1.0),
                          train_patch_size=patch, prob_thresh=PROB_THRESH)
     trainer = TrainStarDist3D(cfg, basedir=out / "sd_models", max_dist=12,
-                              learning_rate=3e-3)
+                              learning_rate=3e-3, prob_fg_weight=64.0)
     t0 = time.perf_counter()
     trainer.train([img1n], [lab1], epochs=EPOCHS, steps_per_epoch=30)
     train_s = time.perf_counter() - t0

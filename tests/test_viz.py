@@ -93,3 +93,37 @@ def test_ffn_prgls_grid(tmp_path):
     assert (tmp_path / "grid.png").exists()
     import matplotlib.pyplot as plt
     plt.close("all")
+
+
+def test_legacy_name_parity_plot_helpers():
+    """The reference's plot-helper names (track.py:412-498,
+    coord_image_transformer.py:760-779) exist with the same signatures."""
+    import matplotlib.pyplot as plt
+
+    rng = np.random.RandomState(3)
+    ref = rng.rand(8, 3) * [40, 60, 10]
+    tgt = ref + rng.randn(8, 3)
+    T_ref = tgt + 0.5
+
+    fig, (ax1, ax2) = plt.subplots(1, 2)
+    el = viz.tracking_plot_xy(ax1, ref, tgt, T_ref, (60, 40),
+                              layercoord=True)
+    assert len(el) == 2 + len(ref)
+    el2 = viz.tracking_plot_zx(ax2, ref, tgt, T_ref, (60, 10),
+                               layercoord=False)
+    assert len(el2) == 2 + len(ref)
+    el3 = viz.plot_tracking_2d_realcoord(T_ref, ax1, False, ref, tgt, 1, 0)
+    assert len(el3) == len(ref)
+    ax1.set_xlim(0, 10), ax2.set_xlim(3, 20)
+    viz.unify_xy_lims(ax1, ax2)
+    assert ax1.get_xlim() == ax2.get_xlim()
+    assert ax1.get_ylim() == ax2.get_ylim()
+
+    scores = rng.rand(8, 8) * 0.4
+    scores[2, 5] = 0.9
+    scores[4, 1] = 0.8
+    fig2 = viz.FFN_matching_plot(ref, tgt, scores)
+    assert fig2 is not None
+    # greedy peel must not mutate the caller's matrix
+    assert scores[2, 5] == 0.9
+    plt.close("all")
