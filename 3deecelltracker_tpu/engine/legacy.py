@@ -362,6 +362,9 @@ class Tracker:
             from ..utils.keras_import import import_unet3
             self.unet_model, self.unet_params, self.unet_bn_state = \
                 import_unet3(path, self.unet_variant)
+            # imported host leaves would re-upload per dispatch
+            self.unet_params, self.unet_bn_state = jax.tree_util.tree_map(
+                jnp.asarray, (self.unet_params, self.unet_bn_state))
         else:
             self.unet_model = get_unet(self.unet_variant)
             template = self.unet_model.init(jax.random.PRNGKey(0))
@@ -385,7 +388,8 @@ class Tracker:
         path = os.path.join(self.paths.models, self.paths.ffn_model_file)
         if path.endswith(".h5"):
             from ..utils.keras_import import import_ffn
-            self.ffn_params, self.ffn_state = import_ffn(path)
+            self.ffn_params, self.ffn_state = jax.tree_util.tree_map(
+                jnp.asarray, import_ffn(path))
         else:
             template = FFN().init(jax.random.PRNGKey(0))
             self.ffn_params, self.ffn_state = load_pytree(template, path)

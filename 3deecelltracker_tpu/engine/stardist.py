@@ -53,7 +53,11 @@ class StarDist3D:
         if params is None:
             params = self.net.init(
                 rng if rng is not None else jax.random.PRNGKey(0))
-        self.params = params
+        # params must live ON DEVICE: host (numpy) leaves — e.g. from a
+        # Keras .h5 import — would ride inside every dispatch (~11 MB of
+        # backbone weights re-uploaded per volume; see
+        # utils.checkpoint.load_pytree)
+        self.params = jax.tree_util.tree_map(jnp.asarray, params)
         self.rays = jnp.asarray(
             rays_golden_spiral(config.n_rays, config.anisotropy))
         self.max_candidates = int(max_candidates)

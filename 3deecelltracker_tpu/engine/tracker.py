@@ -138,6 +138,11 @@ class TrackerLite:
                     template, ffn_weights)
         else:
             self.ffn_params, self.ffn_state = ffn_weights
+        # host (numpy) weight leaves — e.g. a Keras import or an
+        # in-memory tuple — would re-upload inside EVERY tracking
+        # dispatch; pin them on device once
+        self.ffn_params, self.ffn_state = jax.tree_util.tree_map(
+            jnp.asarray, (self.ffn_params, self.ffn_state))
 
         n1 = proofed_coords_vol1.cell_num
         self.max_cells = int(max_cells) if max_cells else int(

@@ -25,57 +25,57 @@ from .edt import distance_transform_edt
 from .neighborhood import neighbor_offsets, shift
 
 
-@functools.partial(jax.jit, static_argnames=("max_dist", "ray_chunk"))
-def star_dist3d(labels: jax.Array, rays: jax.Array, max_dist: int = 32,
+def star_dist3d(labels: jax.Array, rays, max_dist: int = 32,
                 ray_chunk: int = 16) -> jax.Array:
     """(z, y, x) int labels -> (z, y, x, n_rays) float32 distances.
 
     Background voxels get 0.  A ray that never exits within ``max_dist``
     steps is truncated at ``max_dist`` (stardist clips similarly).
+
+    TPU design: every base voxel is an INTEGER coordinate, so the
+    nearest-voxel sample at step t along ray r — ``round(v + r*t)`` —
+    equals ``v + round(r*t)``: a STATIC integer shift shared by all
+    voxels.  Each (ray, step) therefore becomes one cheap whole-array
+    shift + compare instead of a 3.5M-element dynamic gather per scan
+    step (gathers at that size cost 10-20 ms each on TPU; the gather
+    formulation measured ~4.5 s per training step at worm patch scale,
+    dominating StarDist training).  Distinct integer offsets are cached
+    and reused across rays/steps.
+
+    ``rays`` must be CONCRETE values (a numpy array, or a closure
+    constant inside jit as ``TrainStarDist3D._gt_impl`` passes them) —
+    they parameterize the program's shift structure.  ``ray_chunk`` is
+    retained for API compatibility and ignored.  Rounding ties
+    (``r*t`` fractional part exactly .5) follow numpy round-half-even
+    on the offset itself; golden-spiral directions never land there.
     """
-    shape = labels.shape
-    zz = jax.lax.broadcasted_iota(jnp.float32, shape, 0)
-    yy = jax.lax.broadcasted_iota(jnp.float32, shape, 1)
-    xx = jax.lax.broadcasted_iota(jnp.float32, shape, 2)
+    del ray_chunk
+    import numpy as _np
+
+    rays_np = _np.asarray(rays, _np.float64)
     fg = labels > 0
-    n_rays = rays.shape[0]
-    pad = (-n_rays) % ray_chunk
-    rays_p = jnp.pad(rays, ((0, pad), (0, 0)))
+    eq_cache = {}
 
-    def sample_labels(pz, py, px):
-        iz = jnp.clip(jnp.round(pz), 0, shape[0] - 1).astype(jnp.int32)
-        iy = jnp.clip(jnp.round(py), 0, shape[1] - 1).astype(jnp.int32)
-        ix = jnp.clip(jnp.round(px), 0, shape[2] - 1).astype(jnp.int32)
-        inb = ((jnp.round(pz) >= 0) & (jnp.round(pz) <= shape[0] - 1)
-               & (jnp.round(py) >= 0) & (jnp.round(py) <= shape[1] - 1)
-               & (jnp.round(px) >= 0) & (jnp.round(px) <= shape[2] - 1))
-        lab = labels[iz, iy, ix]
-        return jnp.where(inb, lab, 0)
+    def eq_shifted(off):
+        # same-label mask under a static shift; out-of-bounds samples
+        # read label 0 (background), which kills foreground rays
+        if off not in eq_cache:
+            if off == (0, 0, 0):
+                eq_cache[off] = fg
+            else:
+                eq_cache[off] = (shift(labels, off, 0) == labels) & fg
+        return eq_cache[off]
 
-    def one_chunk(ray_block):
-        # ray_block: (c, 3)
-        def step(carry, t):
-            dist, alive = carry
-            tt = t.astype(jnp.float32)
-            pz = zz[None] + ray_block[:, 0, None, None, None] * tt
-            py = yy[None] + ray_block[:, 1, None, None, None] * tt
-            px = xx[None] + ray_block[:, 2, None, None, None] * tt
-            lab_here = sample_labels(pz, py, px)
-            alive = alive & (lab_here == labels[None]) & fg[None]
-            dist = dist + alive.astype(jnp.float32)
-            return (dist, alive), None
-
-        c = ray_block.shape[0]
-        dist0 = jnp.zeros((c,) + shape, jnp.float32)
-        alive0 = jnp.broadcast_to(fg[None], (c,) + shape)
-        (dist, _), _ = jax.lax.scan(step, (dist0, alive0),
-                                    jnp.arange(1, max_dist + 1))
-        return dist
-
-    chunks = rays_p.reshape(-1, ray_chunk, 3)
-    dists = jax.lax.map(one_chunk, chunks)          # (nc, c, z, y, x)
-    dists = dists.reshape(-1, *shape)[:n_rays]
-    return jnp.moveaxis(dists, 0, -1)
+    outs = []
+    for r in rays_np:
+        alive = fg
+        dist = jnp.zeros(labels.shape, jnp.float32)
+        for t in range(1, max_dist + 1):
+            off = tuple(int(v) for v in _np.round(r * t))
+            alive = alive & eq_shifted(off)
+            dist = dist + alive
+        outs.append(dist)
+    return jnp.stack(outs, -1)
 
 
 @functools.partial(jax.jit, static_argnames=("max_labels", "anisotropy",

@@ -42,7 +42,16 @@ def save_pytree(tree: Any, path: Union[str, Path]) -> None:
 
 def load_pytree(template: Any, path: Union[str, Path]) -> Any:
     """Load arrays saved by ``save_pytree`` into the structure of
-    ``template`` (shapes/keys must match)."""
+    ``template`` (shapes/keys must match).
+
+    Leaves come back as DEVICE arrays (one upload here): numpy leaves
+    would instead ride inside EVERY jitted call that takes them — a
+    loaded StarDist backbone (11 MB of params) re-uploaded per volume
+    cost ~120 ms/dispatch through the tunneled dev link, 7x the whole
+    seg program's device time (caught by the round-4 trained-model
+    bench; random-init models always held device params, hiding it)."""
+    import jax.numpy as jnp
+
     flat, treedef = jax.tree_util.tree_flatten_with_path(template)
     leaves = []
     with np.load(str(path)) as data:
@@ -55,5 +64,5 @@ def load_pytree(template: Any, path: Union[str, Path]) -> Any:
                 raise ValueError(
                     f"leaf {key}: shape {arr.shape} != template "
                     f"{np.shape(v)}")
-            leaves.append(arr)
+            leaves.append(jnp.asarray(arr))
     return jax.tree_util.tree_unflatten(treedef, leaves)

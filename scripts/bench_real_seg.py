@@ -29,33 +29,18 @@ import bench                                       # noqa: E402
 from bench import (GRID, N_VOLS, Z, bench_track,
                    make_recording)                 # noqa: E402
 
-EPOCHS = 8          # the synthetic-demo training budget (module-level so
-                    # the CPU smoke harness can shrink it)
-PROB_THRESH = 0.3   # candidate threshold for the trained model
+EPOCHS = bench.SD_EPOCHS        # the bench training recipe (module-level
+                                # so the CPU smoke harness can shrink it)
+PROB_THRESH = bench.SD_PROB_THRESH
 
 
 def train_real_model(raw_dir: Path, lab1, out: Path):
-    """Train a small StarDist3D on the vol-1 GT labels (the
-    synthetic-demo recipe, stardistwrapper.py:330-364 protocol)."""
-    from t3dct.config import StarDistConfig
-    from t3dct.engine.stardist import StarDist3D
-    from t3dct.io.imageio import load_2d_slices_at_time, percentile_normalize
-    from t3dct.models.train_stardist import TrainStarDist3D
-
-    img1 = load_2d_slices_at_time(str(raw_dir / "raw_t%03i_z*.tif"), t=1,
-                                  do_normalize=False).astype(np.float32)
-    img1n = percentile_normalize(img1)             # (z, y, x)
-    patch = (Z, min(96, img1n.shape[1]), min(96, img1n.shape[2]))
-    cfg = StarDistConfig(n_rays=96, grid=GRID, anisotropy=(9.2, 1.0, 1.0),
-                         train_patch_size=patch, prob_thresh=PROB_THRESH)
-    trainer = TrainStarDist3D(cfg, basedir=out / "sd_models", max_dist=12,
-                              learning_rate=3e-3, prob_fg_weight=64.0)
+    """The bench's trained model (same scene, same recipe, shared weight
+    cache under ~/.cache/t3dct/bench — a fresh train lands there too)."""
     t0 = time.perf_counter()
-    trainer.train([img1n], [lab1], epochs=EPOCHS, steps_per_epoch=30)
-    train_s = time.perf_counter() - t0
-    model = StarDist3D.load(out / "sd_models" / "stardist")
-    model.max_candidates = 256
-    model.render_box = (9, 33, 33)
+    model, train_s = bench.get_trained_model(raw_dir, lab1)
+    if train_s == 0.0:
+        train_s = time.perf_counter() - t0      # cache load time
     return model, train_s
 
 

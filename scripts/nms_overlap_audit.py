@@ -138,14 +138,28 @@ def audit_scene(kind, n, seed, step=0.34, threshes=(0.3, 0.4),
            "max_abs_err": round(float(errs.max()), 4),
            "neighbor_cap_misses_gt_0.05": int(miss.sum())}
     for thresh in threshes:
-        kept_s = np.asarray(greedy_nms(jnp.asarray(probs),
-                                       jnp.asarray(shipped),
-                                       jnp.asarray(valid), thresh))
-        kept_o = np.asarray(greedy_nms(jnp.asarray(probs),
-                                       jnp.asarray(oracle),
-                                       jnp.asarray(valid), thresh))
+        def kept_with(mat, th):
+            return np.asarray(greedy_nms(jnp.asarray(probs),
+                                         jnp.asarray(mat),
+                                         jnp.asarray(valid), th))
+
+        kept_s = kept_with(shipped, thresh)
+        kept_o = kept_with(oracle, thresh)
         out[f"flips_at_{thresh}"] = int((kept_s != kept_o).sum())
         out[f"kept_at_{thresh}"] = int(kept_o.sum())
+        # borderline vs HARD flips: a greedy flip whose root pair sits
+        # within the estimator's error band of the threshold cascades
+        # through the kept set — such a decision is genuinely ambiguous
+        # (the reference's own C++ NMS rasterizes polyhedra at 1-voxel
+        # resolution, coarser than this oracle).  A flip is HARD only if
+        # the shipped decision matches the oracle at NEITHER thresh-δ
+        # nor thresh+δ (δ = 0.05 ≈ 2.5x the p95 overlap error).
+        delta = 0.05
+        kept_lo = kept_with(oracle, thresh - delta)
+        kept_hi = kept_with(oracle, thresh + delta)
+        hard = ((kept_s != kept_o) & (kept_s != kept_lo)
+                & (kept_s != kept_hi))
+        out[f"hard_flips_at_{thresh}"] = int(hard.sum())
     return out
 
 
@@ -158,7 +172,10 @@ def main():
         results.append(r)
     total_flips = sum(r[k] for r in results
                       for k in r if k.startswith("flips_"))
+    total_hard = sum(r[k] for r in results
+                     for k in r if k.startswith("hard_flips_"))
     summary = {"scenes": results, "total_flips": total_flips,
+               "total_hard_flips": total_hard,
                "sampling": "n_samples=64, n_fracs=4, neighbor_limit=32, "
                            "r^3 volume weighting "
                            "(shipped ops/nms.py defaults, round 4)",
@@ -166,7 +183,8 @@ def main():
                          ", volume-unbiased)"}
     (Path(__file__).parent / "nms_audit.json").write_text(
         json.dumps(summary, indent=2))
-    print(f"TOTAL suppression flips vs oracle: {total_flips}")
+    print(f"TOTAL suppression flips vs oracle: {total_flips} "
+          f"(hard, i.e. beyond the ±0.05 borderline band: {total_hard})")
 
 
 if __name__ == "__main__":

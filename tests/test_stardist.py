@@ -387,5 +387,7 @@ def test_nms_overlap_oracle_flip_rate():
         r = audit_scene(kind, n=24, seed=seed, step=0.4)
         assert r["flips_at_0.3"] == 0, r
         assert r["flips_at_0.4"] == 0, r
+        assert r["hard_flips_at_0.3"] == 0, r
+        assert r["hard_flips_at_0.4"] == 0, r
         assert r["neighbor_cap_misses_gt_0.05"] == 0, r
         assert r["p95_abs_err"] < 0.12, r
