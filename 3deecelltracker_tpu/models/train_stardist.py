@@ -68,11 +68,30 @@ class TrainStarDist3D:
                  max_dist: int = 32, seed: int = 0,
                  batch_size: int = 2,
                  prob_fg_weight: float = 1.0,
+                 background_reg: float = 1e-4,
+                 foreground_prob: float = 0.9,
                  mesh=None, data_axis: str = "data"):
         """``batch_size``: patches per step (reference train_batch_size=2,
         stardistwrapper.py:258).  ``mesh``: optional jax.sharding.Mesh — the
         patch batch is sharded over ``data_axis`` (params replicated,
         gradients all-reduced by XLA SPMD).
+
+        ``background_reg``: stardist's ``train_background_reg`` (default
+        1e-4; printed config in the reference's
+        Examples/use_stardist/train_stardist.ipynb): an L1 penalty
+        ``reg * mean((1 - prob_gt) * |dist_pred|)`` pulling predicted ray
+        distances toward 0 off-foreground.  Without it the dist head is
+        unconstrained wherever ``prob_gt`` ~ 0, and its overshoot there
+        makes NMS merge neighboring instances once training runs long
+        (measured at worm scale: detections collapse 111 -> ~35 after 16+
+        epochs with reg 0).
+
+        ``foreground_prob``: stardist's ``train_foreground_only`` (default
+        0.9, same printed config): this fraction of training patches is
+        guaranteed to contain foreground, by sampling a random foreground
+        voxel and a patch window containing it (foreground indices cached
+        per volume, stardist's ``train_sample_cache``).  At <1% foreground
+        a uniform sampler feeds mostly empty patches.
 
         ``prob_fg_weight``: foreground weight in the prob BCE (weighted
         sum normalized by the total weight).  1.0 = the reference's plain
@@ -98,6 +117,9 @@ class TrainStarDist3D:
             rays_golden_spiral(config.n_rays, config.anisotropy))
         self.dist_loss_weight = dist_loss_weight
         self.prob_fg_weight = float(prob_fg_weight)
+        self.background_reg = float(background_reg)
+        self.foreground_prob = float(foreground_prob)
+        self._fg_cache = {}      # id(label volume) -> (volume, fg coords)
         self.max_dist = max_dist
         self.basedir = Path(basedir)
         self.model_name = model_name
@@ -145,6 +167,11 @@ class TrainStarDist3D:
         w = prob_gt[..., None]
         loss_dist = jnp.sum(w * jnp.abs(dist - dist_gt)) / \
             (jnp.sum(w) * dist.shape[-1] + eps)
+        if self.background_reg > 0:
+            # stardist generic_masked_loss reg term: the prob-GT weighting
+            # leaves dist unconstrained off-foreground; pull it to 0 there
+            loss_dist = loss_dist + self.background_reg * jnp.mean(
+                (1.0 - w) * jnp.abs(dist))
         return loss_prob + self.dist_loss_weight * loss_dist
 
     def _train_step(self, params, opt_state, x, prob_gt, dist_gt):
@@ -154,13 +181,35 @@ class TrainStarDist3D:
         return optax.apply_updates(params, updates), new_opt, loss
 
     # ---- data ------------------------------------------------------------
+    def _fg_indices(self, y: np.ndarray) -> np.ndarray:
+        """Cached foreground voxel coordinates of a label volume
+        (stardist's ``train_sample_cache``)."""
+        cached = self._fg_cache.get(id(y))
+        if cached is None or cached[0] is not y:
+            self._fg_cache[id(y)] = (y, np.argwhere(y > 0))
+            cached = self._fg_cache[id(y)]
+        return cached[1]
+
     def _sample_patch(self, X: List[np.ndarray], Y: List[np.ndarray]):
         i = self.rng.randint(len(X))
         x, y = X[i], Y[i]
-        pz, py, px = self.config.train_patch_size
-        sz = self.rng.randint(0, max(x.shape[0] - pz, 0) + 1)
-        sy = self.rng.randint(0, max(x.shape[1] - py, 0) + 1)
-        sx = self.rng.randint(0, max(x.shape[2] - px, 0) + 1)
+        patch = self.config.train_patch_size
+        starts = None
+        if self.foreground_prob > 0 and \
+                self.rng.rand() < self.foreground_prob:
+            fg = self._fg_indices(y)
+            if len(fg):
+                # a patch window chosen uniformly among those containing a
+                # randomly drawn foreground voxel (train_foreground_only)
+                c = fg[self.rng.randint(len(fg))]
+                starts = [self.rng.randint(max(0, cc - p + 1),
+                                           min(cc, s - p) + 1)
+                          for cc, p, s in zip(c, patch, y.shape)]
+        if starts is None:
+            starts = [self.rng.randint(0, max(s - p, 0) + 1)
+                      for p, s in zip(patch, y.shape)]
+        sz, sy, sx = starts
+        pz, py, px = patch
         xp = x[sz:sz + pz, sy:sy + py, sx:sx + px]
         yp = y[sz:sz + pz, sy:sy + py, sx:sx + px]
         return augmenter(xp.astype(np.float32), yp.astype(np.int32),

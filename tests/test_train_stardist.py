@@ -64,6 +64,65 @@ def test_random_fliprot_keeps_pairing():
         np.testing.assert_array_equal(l2, (i2 > 10).astype(np.int32))
 
 
+def _tiny_cfg(patch):
+    return StarDistConfig(n_rays=8, grid=(1, 2, 2),
+                          anisotropy=(2.0, 1.0, 1.0),
+                          unet_n_filter_base=4, net_conv_after_unet=8,
+                          train_patch_size=patch)
+
+
+def test_foreground_patch_sampling(tmp_path):
+    """``foreground_prob=1`` guarantees foreground in every patch
+    (stardist's train_foreground_only; see TrainStarDist3D docstring) even
+    when the labels occupy a tiny corner a uniform sampler mostly misses."""
+    shape = (8, 64, 64)
+    lab = np.zeros(shape, np.int32)
+    lab[2:5, 2:6, 2:6] = 1
+    img = lab.astype(np.float32)
+    cfg = _tiny_cfg((8, 16, 16))
+    tr = TrainStarDist3D(cfg, basedir=tmp_path / "fg", max_dist=6, seed=0,
+                         foreground_prob=1.0)
+    for _ in range(25):
+        xp, yp = tr._sample_patch([img], [lab])
+        assert yp.shape == (8, 16, 16)
+        assert (yp > 0).any()
+    # the uniform sampler (foreground_prob=0) misses the corner most draws
+    tr0 = TrainStarDist3D(cfg, basedir=tmp_path / "fg0", max_dist=6,
+                          seed=0, foreground_prob=0.0)
+    hits = sum(bool((tr0._sample_patch([img], [lab])[1] > 0).any())
+               for _ in range(25))
+    assert hits < 25
+
+
+def test_background_reg_penalizes_offforeground_dist(tmp_path):
+    """``background_reg`` adds reg*mean((1-prob_gt)*|dist|) to the loss
+    (stardist's train_background_reg)."""
+    import jax
+    cfg = _tiny_cfg((8, 16, 16))
+    tr0 = TrainStarDist3D(cfg, basedir=tmp_path / "a", max_dist=6, seed=0,
+                          background_reg=0.0)
+    tr1 = TrainStarDist3D(cfg, basedir=tmp_path / "b", max_dist=6, seed=0,
+                          background_reg=0.5)
+    rng = np.random.RandomState(0)
+    x = jnp.asarray(rng.rand(1, 8, 16, 16).astype(np.float32))
+    prob_gt = jnp.zeros((1, 8, 8, 8), jnp.float32)      # all background
+    dist_gt = jnp.zeros((1, 8, 8, 8, 8), jnp.float32)
+    l0 = float(tr0._loss(tr0.params, x, prob_gt, dist_gt))
+    l1 = float(tr1._loss(tr1.params, x, prob_gt, dist_gt))
+    # same params/seed; the only difference is the reg term, and the
+    # linear dist head is nonzero at init
+    _, dist = tr0.net.apply(tr0.params, x[..., None])
+    assert float(jnp.abs(dist).mean()) > 0
+    assert l1 > l0
+    # the reg rides inside loss_dist, so the composite delta carries the
+    # dist_loss_weight factor (stardist weights the whole masked dist
+    # loss, reg included, by train_loss_weights[1])
+    np.testing.assert_allclose(
+        l1 - l0,
+        tr0.dist_loss_weight * 0.5 * float(jnp.abs(dist).mean()),
+        rtol=1e-4)
+
+
 @pytest.mark.slow
 def test_stardist_training_reduces_loss(tmp_path):
     rng = np.random.RandomState(1)
