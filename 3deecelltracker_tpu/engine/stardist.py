@@ -46,7 +46,8 @@ class StarDist3D:
                  params=None, rng: Optional[jax.Array] = None,
                  max_candidates: int = 1024,
                  render_box: Tuple[int, int, int] = (33, 65, 65),
-                 arch: str = "tpu"):
+                 arch: str = "tpu",
+                 lmax_prefilter: bool = True):
         self.config = config
         self.arch = arch
         self.net = StarDist3DNet(config, arch=arch)
@@ -61,6 +62,11 @@ class StarDist3D:
         self.rays = jnp.asarray(
             rays_golden_spiral(config.n_rays, config.anisotropy))
         self.max_candidates = int(max_candidates)
+        # keep only 3x3x3 prob local maxima as NMS candidates (see
+        # models.stardist3d.sparse_candidates: the budget-free reference
+        # NMS collapses each cell's above-thresh cluster to its peak; a
+        # plain top-k under max_candidates instead starves dim cells)
+        self.lmax_prefilter = bool(lmax_prefilter)
         self.render_box = tuple(int(b) for b in render_box)
         self._thresholds = dict(prob=config.prob_thresh,
                                 nms=config.nms_thresh)
@@ -131,7 +137,8 @@ class StarDist3D:
         dist_g = dist_g[0]
         probs, dists, points, valid = sparse_candidates(
             prob_g, dist_g, self.config.grid, prob_thresh,
-            max_candidates=self.max_candidates)
+            max_candidates=self.max_candidates,
+            lmax_prefilter=self.lmax_prefilter)
         # crop the div-by padding in grid coordinates
         gshape = tuple(-(-s // g) for s, g in zip(orig_shape,
                                                   self.config.grid))
@@ -155,7 +162,8 @@ class StarDist3D:
         percentile scalars, and normalizes on device with csbdeep's
         formula (``stardistwrapper.py:71``): bit-identical to normalizing
         on host."""
-        key = (tuple(orig_shape), return_labels, in_dtype)
+        key = (tuple(orig_shape), return_labels, in_dtype,
+               self.lmax_prefilter)
         fn = self._fused.get(key)
         if fn is None:
             fn = jax.jit(self._make_instance_body(orig_shape, return_labels))
@@ -168,6 +176,7 @@ class StarDist3D:
         cfg = self.config
         net, rays = self.net, self.rays
         max_candidates, render_box = self.max_candidates, self.render_box
+        lmax_prefilter = self.lmax_prefilter
         gshape = tuple(-(-s // g) for s, g in zip(orig_shape, cfg.grid))
         image_shape = tuple(int(s) for s in orig_shape)
         div = self.net.div_by
@@ -180,7 +189,8 @@ class StarDist3D:
             prob_g, dist_g = prob_g[0, ..., 0], dist_g[0]
             probs, dists, points, valid = sparse_candidates(
                 prob_g, dist_g, cfg.grid, prob_thresh,
-                max_candidates=max_candidates)
+                max_candidates=max_candidates,
+                lmax_prefilter=lmax_prefilter)
             # f16 halves the per-volume prob-map transfer; _finalize
             # restores float32 on host (quantization ~5e-4 abs, far below
             # any thresholding or correction-weight sensitivity)
@@ -213,7 +223,8 @@ class StarDist3D:
         per-volume cost (measured ~50 ms/round-trip at worm scale), so
         batching divides it by B.  No labels (the driver only persists
         labels for vol 1, which runs through the single-volume program)."""
-        key = ("fusedB", tuple(orig_shape), batch, in_dtype)
+        key = ("fusedB", tuple(orig_shape), batch, in_dtype,
+               self.lmax_prefilter)
         fn = self._fused.get(key)
         if fn is None:
             body = self._make_instance_body(orig_shape, False)
@@ -236,7 +247,7 @@ class StarDist3D:
         from jax.sharding import NamedSharding, PartitionSpec
 
         key = ("fusedB_sharded", tuple(orig_shape), batch, in_dtype,
-               mesh, data_axis)
+               mesh, data_axis, self.lmax_prefilter)
         fn = self._fused.get(key)
         if fn is None:
             body = self._make_instance_body(orig_shape, False)
@@ -408,11 +419,18 @@ class StarDist3D:
         gdim = tuple((-(-v // d) * d) // g
                      for v, d, g in zip(vol, net.div_by, grid))
         b = 2  # sparse_candidates border default
+        lmax_prefilter = self.lmax_prefilter
 
         def tile_fn(params, tile, mi, ma, origin_g, prob_thresh):
             xn = (tile.astype(jnp.float32) - mi) / (ma - mi + 1e-20)
             prob_g, dist_g = net.apply(params, xn[None, ..., None])
             prob_c = jax.lax.dynamic_slice(prob_g[0, ..., 0], s_g, c_g)
+            if lmax_prefilter:
+                # peak test on the UNcropped tile grid so center-crop
+                # voxels compare against neighbors in the shrink margin
+                from ..models.stardist3d import local_maxima_3x3x3
+                lmax_c = jax.lax.dynamic_slice(
+                    local_maxima_3x3x3(prob_g[0, ..., 0]), s_g, c_g)
             dist_c = jax.lax.dynamic_slice(dist_g[0], s_g + (0,),
                                            c_g + (n_rays,))
             zz = jax.lax.broadcasted_iota(jnp.int32, c_g, 0) + origin_g[0]
@@ -425,8 +443,10 @@ class StarDist3D:
                 jnp.asarray(grid, jnp.int32)
             in_range = ((pts[..., 0] < vol[0]) & (pts[..., 1] < vol[1])
                         & (pts[..., 2] < vol[2]))
-            masked = jnp.where(interior & in_range, prob_c,
-                               -jnp.inf).reshape(-1)
+            keep = interior & in_range
+            if lmax_prefilter:
+                keep = keep & lmax_c
+            masked = jnp.where(keep, prob_c, -jnp.inf).reshape(-1)
             k = min(k_tile, masked.size)
             top_p, top_idx = jax.lax.top_k(masked, k)
             valid = top_p > prob_thresh
@@ -438,7 +458,7 @@ class StarDist3D:
         return tile_fn
 
     def _get_tile_program(self, tiles, shr, vol, k_tile):
-        key = ("tile", tiles, shr, vol, k_tile)
+        key = ("tile", tiles, shr, vol, k_tile, self.lmax_prefilter)
         fn = self._fused.get(key)
         if fn is None:
             fn = jax.jit(self._make_tile_fn(tiles, shr, vol, k_tile))
@@ -464,7 +484,8 @@ class StarDist3D:
         device compute alone is 1.09 s
         (scripts/measure_zebrafish_device.py).  Remaining wall is the
         one-time volume upload + label fetch at ~40 MB/s."""
-        key = ("tile_vol", tiles, shr, vol, k_tile, batch)
+        key = ("tile_vol", tiles, shr, vol, k_tile, batch,
+               self.lmax_prefilter)
         fn = self._fused.get(key)
         if fn is None:
             tile_fn = self._make_tile_fn(tiles, shr, vol, k_tile)
@@ -721,7 +742,7 @@ class StarDist3D:
         stack[n_tiles:] = 0.0               # pad tiles: dropped after fetch
 
         key = ("tile_sharded", tiles, shr, vol, tile_candidates,
-               tuple(mesh.axis_names), n_dev)
+               tuple(mesh.axis_names), n_dev, self.lmax_prefilter)
         batched = self._fused.get(key)
         if batched is None:
             tile_fn = self._make_tile_fn(tiles, shr, vol, tile_candidates)

@@ -337,17 +337,39 @@ def _fused_up_first_conv(p, h, skip, pool, compute_dtype):
     return jax.nn.relu(y_a + y_b + p["b"])
 
 
+def local_maxima_3x3x3(prob: jax.Array) -> jax.Array:
+    """Boolean mask of voxels that equal their 3x3x3 neighborhood max
+    (plateau voxels all qualify; edge neighborhoods are truncated)."""
+    neigh = jax.lax.reduce_window(prob, -jnp.inf, jax.lax.max,
+                                  (3, 3, 3), (1, 1, 1), "SAME")
+    return prob >= neigh
+
+
 @functools.partial(jax.jit, static_argnames=(
-    "grid", "max_candidates", "border"))
+    "grid", "max_candidates", "border", "lmax_prefilter"))
 def sparse_candidates(prob: jax.Array, dist: jax.Array,
                       grid: Tuple[int, int, int],
                       prob_thresh: float,
                       max_candidates: int = 512,
-                      border: int = 2
+                      border: int = 2,
+                      lmax_prefilter: bool = True
                       ) -> Tuple[jax.Array, jax.Array, jax.Array, jax.Array]:
     """Gather candidates above ``prob_thresh`` (stardist
     ``_ind_prob_thresh`` with b=2 border exclusion,
     stardist3dcustom.py:229-237) as fixed-size top-k arrays.
+
+    ``lmax_prefilter`` (default True): keep only 3x3x3 local maxima of
+    ``prob`` before the top-k.  The reference has NO candidate budget —
+    its C++ NMS sees every above-threshold voxel and collapses each
+    cell's cluster to its peak; under a static ``max_candidates`` budget
+    a plain global top-k instead spends the whole budget on the few
+    brightest cells once the model is well trained (measured on the
+    bench scene: 150 cells -> ~4000 above-thresh grid voxels but exactly
+    ~150 local maxima; top-256 truncation collapsed detections to
+    36-111).  The prefilter keeps one candidate cluster representative
+    per prob peak, which is what the uncapped reference NMS converges to
+    anyway.  Set False for the raw stardist candidate-set letter (all
+    above-thresh voxels, budget permitting).
 
     prob: (gz, gy, gx); dist: (gz, gy, gx, n_rays).
     Returns (probs (K,), dists (K, n_rays), points (K, 3) in input voxel
@@ -361,6 +383,8 @@ def sparse_candidates(prob: jax.Array, dist: jax.Array,
     interior = ((zz >= b) & (zz < gz - b) & (yy >= b) & (yy < gy - b)
                 & (xx >= b) & (xx < gx - b)) if b else \
         jnp.ones(prob.shape, bool)
+    if lmax_prefilter:
+        interior = interior & local_maxima_3x3x3(prob)
     masked = jnp.where(interior, prob, -jnp.inf).reshape(-1)
     # volumes smaller than the candidate budget: take everything, pad the
     # result back to the static max_candidates shape with invalid slots

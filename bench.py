@@ -61,9 +61,13 @@ REFERENCE_VOLS_PER_SEC = 0.2     # driver-set TF/3080Ti e2e estimate
 MB = 1024 * 1024
 
 # StarDist training recipe (the synthetic-demo / bench_real_seg recipe);
-# bump BENCH_CACHE_VERSION when anything here or the recording changes
-BENCH_CACHE_VERSION = "r4-sd8x30w64-ffn600"
-SD_EPOCHS = 8
+# bump BENCH_CACHE_VERSION when anything here or the recording changes.
+# 16x30 with the trainer's stardist-default background_reg/foreground
+# sampling + the NMS local-max candidate prefilter measures 150/150 GT
+# cells matched at t=1 AND t=21 (scripts/sd_recipe_tune.json + the
+# prefilter re-eval; the r3 8x30 recipe found 111 with 89 matched)
+BENCH_CACHE_VERSION = "r4-sd16x30w64reg-lmax-ffn600"
+SD_EPOCHS = 16
 SD_STEPS = 30
 SD_PROB_THRESH = 0.3
 SD_FG_WEIGHT = 64.0   # worm scenes are <1% foreground (see TrainStarDist3D.prob_fg_weight)
