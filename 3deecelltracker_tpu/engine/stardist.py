@@ -427,10 +427,13 @@ class StarDist3D:
             prob_c = jax.lax.dynamic_slice(prob_g[0, ..., 0], s_g, c_g)
             if lmax_prefilter:
                 # peak test on the UNcropped tile grid so center-crop
-                # voxels compare against neighbors in the shrink margin
-                from ..models.stardist3d import local_maxima_3x3x3
-                lmax_c = jax.lax.dynamic_slice(
-                    local_maxima_3x3x3(prob_g[0, ..., 0]), s_g, c_g)
+                # voxels compare against neighbors in the shrink margin;
+                # slice the FLOAT neighborhood max (a bool slice inserts
+                # i1 layout conversions) and compare after cropping
+                from ..models.stardist3d import neighborhood_max_3x3x3
+                neigh_c = jax.lax.dynamic_slice(
+                    neighborhood_max_3x3x3(prob_g[0, ..., 0]), s_g, c_g)
+                lmax_c = prob_c >= neigh_c
             dist_c = jax.lax.dynamic_slice(dist_g[0], s_g + (0,),
                                            c_g + (n_rays,))
             zz = jax.lax.broadcasted_iota(jnp.int32, c_g, 0) + origin_g[0]

@@ -337,12 +337,25 @@ def _fused_up_first_conv(p, h, skip, pool, compute_dtype):
     return jax.nn.relu(y_a + y_b + p["b"])
 
 
+def neighborhood_max_3x3x3(prob: jax.Array) -> jax.Array:
+    """3x3x3 max filter (edge neighborhoods truncated).
+
+    The max filter is separable and MUST be decomposed on TPU: a single
+    3-D ``reduce_window`` lowers ~15x slower than three 1-D passes
+    (measured 18.8 vs 1.3 ms on a (32, 44, 44) grid, v5e)."""
+    neigh = prob
+    for ax in range(3):
+        win = [1, 1, 1]
+        win[ax] = 3
+        neigh = jax.lax.reduce_window(neigh, -jnp.inf, jax.lax.max,
+                                      tuple(win), (1, 1, 1), "SAME")
+    return neigh
+
+
 def local_maxima_3x3x3(prob: jax.Array) -> jax.Array:
     """Boolean mask of voxels that equal their 3x3x3 neighborhood max
     (plateau voxels all qualify; edge neighborhoods are truncated)."""
-    neigh = jax.lax.reduce_window(prob, -jnp.inf, jax.lax.max,
-                                  (3, 3, 3), (1, 1, 1), "SAME")
-    return prob >= neigh
+    return prob >= neighborhood_max_3x3x3(prob)
 
 
 @functools.partial(jax.jit, static_argnames=(

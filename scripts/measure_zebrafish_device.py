@@ -43,7 +43,6 @@ def main():
 
     vol, grid, tiles, shr, plan, padded, gshape, c_g = \
         model._plan_tiling(x, TILE, (0, 48, 48))
-    prog = model._get_tile_program(tiles, shr, vol, 256)
     print(f"tiles {tiles}, shrink {shr}, n_tiles {len(plan.origins)}",
           flush=True)
 
@@ -51,19 +50,50 @@ def main():
     jax.device_get(jnp.sum(padded_dev[:1, :1, :1]))   # settle upload
     mi, ma = np.float32(0.0), np.float32(1.0)
 
+    # the SHIPPED dispatch shape (predict_instances_tiled): 8 tiles per
+    # jitted dispatch, tiles dynamic_slice'd on device from the resident
+    # padded volume.  The original per-tile loop here made 49 execute
+    # RPCs + 49 op-by-op slice dispatches per pass, so its wall tracked
+    # link weather more than device compute (round-4 morning vs evening
+    # runs differed 265 -> 709 ms with NO code change; an interleaved
+    # same-process A/B showed the candidate-prefilter delta was ~0)
+    BATCH = 8
+    origins = [tuple(int(v) for v in o) for o in plan.origins]
+    prog = model._get_tile_batch_from_volume_program(
+        tiles, shr, vol, 256, BATCH)
+
+    # the checksum MUST be one jitted call over the batch outputs: an
+    # eager per-tile unpack (`out[k][i]`) plus eager `jnp.sum`s issues
+    # ~350 op-by-op dispatch RPCs per pass, and the measured "device"
+    # time tracks link weather instead of compute (an earlier version of
+    # this script recorded 887 ms that way; the jitted-checksum number
+    # is ~270 ms at the same weather)
+    @jax.jit
+    def checksum(batch_outs):
+        return sum(jnp.sum(o[1]) + jnp.sum(o[0][:, :2, :2, :2])
+                   for o in batch_outs)
+
     def run_all():
-        outs = []
-        for origin in plan.origins:
-            o = tuple(int(v) for v in origin)
-            tile = jax.lax.dynamic_slice(padded_dev, o, tiles)
-            og = tuple(v // g for v, g in zip(o, grid))
-            outs.append(prog(model.params, tile, mi, ma,
-                             np.asarray(og, np.int32), np.float32(0.5)))
-        s = sum(jnp.sum(o[1]) + jnp.sum(o[0][:2, :2, :2]) for o in outs)
-        return jax.device_get(s), outs
+        batch_outs = []
+        n_reals = []
+        for start in range(0, len(origins), BATCH):
+            chunk = origins[start:start + BATCH]
+            n_reals.append(len(chunk))
+            chunk = chunk + [chunk[-1]] * (BATCH - len(chunk))
+            ogs = [tuple(v // g for v, g in zip(o, grid)) for o in chunk]
+            out = prog(model.params, padded_dev, mi, ma,
+                       np.asarray(chunk, np.int32),
+                       np.asarray(ogs, np.int32), np.float32(0.5))
+            batch_outs.append(out)
+        return jax.device_get(checksum(batch_outs)), batch_outs, n_reals
 
     # warm-up (compiles)
-    _, outs = run_all()
+    _, batch_outs, n_reals = run_all()
+    # per-tile views for the combine stage (OUTSIDE the timed region);
+    # padded duplicate tiles in the final batch are dropped
+    host = jax.device_get(batch_outs)
+    outs = [tuple(o[i] for o in bo)
+            for bo, n in zip(host, n_reals) for i in range(n)]
     times = []
     for _ in range(3):
         t0 = time.perf_counter()
@@ -88,15 +118,21 @@ def main():
     probs, dists, points, valid = (probs[order], dists[order],
                                    points[order], valid[order])
     combine = model._get_combine_program(int(probs.shape[0]), SHAPE, True)
+
+    @jax.jit
+    def combine_checksum(os_):
+        return sum(jnp.sum(o[1][:2, :2, :2].astype(jnp.int32)) for o in os_)
+
     out = combine(probs, dists, points, valid, np.float32(0.3))
-    jax.device_get(jnp.sum(out[1][:2, :2, :2]))
-    times = []
-    for _ in range(3):
-        t0 = time.perf_counter()
-        o = combine(probs, dists, points, valid, np.float32(0.3))
-        jax.device_get(jnp.sum(o[1][:2, :2, :2]))
-        times.append(time.perf_counter() - t0)
-    combine_ms = float(np.median(times) * 1e3)
+    jax.device_get(combine_checksum([out]))
+    # queue N calls, sync once: a per-call fetch would put one ~30 ms RPC
+    # round trip inside every timed pass
+    reps = 4
+    t0 = time.perf_counter()
+    os_ = [combine(probs, dists, points, valid, np.float32(0.3))
+           for _ in range(reps)]
+    jax.device_get(combine_checksum(os_))
+    combine_ms = float((time.perf_counter() - t0) / reps * 1e3)
     print(f"global NMS + full-volume render: {combine_ms:.1f} ms",
           flush=True)
 
