@@ -216,7 +216,9 @@ def segment_and_track(images_path, model,
                       save_figures: bool = False,
                       verbose: bool = True,
                       timer=None,
-                      handoff: str = "disk") -> Dict[int, np.ndarray]:
+                      handoff: str = "disk",
+                      mesh=None,
+                      data_axis: str = "data") -> Dict[int, np.ndarray]:
     """Run segmentation AND tracking concurrently over one recording:
     ``predict_and_save`` on its own thread, ``track_timelapse`` on the
     caller's, handing volumes off as their seg artifacts land.
@@ -242,6 +244,16 @@ def segment_and_track(images_path, model,
         round trip leaves the critical path.  Bit-identical results to
         ``"disk"`` (tested); fuses stardistwrapper.py:75-111 ->
         coord_image_transformer.py:406-447.
+
+    ``mesh``: optional ``jax.sharding.Mesh`` — the flagship composition
+    on the multi-chip target.  With ``handoff="device"``, segmentation
+    fans the volume stream over the mesh's ``data_axis`` in data-sharded
+    groups while the serial tracking recurrence consumes the per-volume
+    device outputs in order (artifacts bit-identical to the single-device
+    handoff; tested).  With ``handoff="disk"``, the concurrent
+    ``predict_and_save`` shards its dispatch groups over the mesh and, in
+    ensemble mode, ``track_timelapse`` fans the member predictions over
+    the same mesh.
     """
     import threading
 
@@ -251,7 +263,7 @@ def segment_and_track(images_path, model,
         return _segment_and_track_device(
             images_path, model, results_dir, manual_vol1_glob, ffn_weights,
             voxel_size, interpolation_factor, t_range, config, miss_frame,
-            save_figures, verbose, timer)
+            save_figures, verbose, timer, mesh=mesh, data_axis=data_axis)
     if handoff != "disk":
         raise ValueError(f"handoff must be 'disk' or 'device', got "
                          f"{handoff!r}")
@@ -280,7 +292,8 @@ def segment_and_track(images_path, model,
             predict_and_save(images_path, model, results_dir,
                              volumes=list(range(t_min, t_max + 1)),
                              progress_cb=progress,
-                             should_stop=cancel.is_set)
+                             should_stop=cancel.is_set,
+                             mesh=mesh, data_axis=data_axis)
         except Exception as e:          # surface on the tracking side
             seg_error.append(e)
         with done_lock:
@@ -316,7 +329,8 @@ def segment_and_track(images_path, model,
             t_range=t_range, grid=tuple(model.config.grid),
             config=config, miss_frame=miss_frame,
             images_path=images_path, save_figures=save_figures,
-            verbose=verbose, timer=timer, volume_ready=volume_ready)
+            verbose=verbose, timer=timer, mesh=mesh,
+            volume_ready=volume_ready)
         tracked_ok = True
     finally:
         if not tracked_ok:
@@ -342,7 +356,10 @@ def _segment_and_track_device(images_path, model,
                               miss_frame: Optional[List[int]],
                               save_figures: bool,
                               verbose: bool,
-                              timer) -> Dict[int, np.ndarray]:
+                              timer,
+                              mesh=None,
+                              data_axis: str = "data") -> Dict[int,
+                                                               np.ndarray]:
     """Device-resident ``segment_and_track`` (VERDICT r3 #1): per volume,
     ONE seg dispatch + ONE track dispatch, with tracking fed from the seg
     program's device outputs via :func:`fused_track_from_seg`.  Artifacts
@@ -356,6 +373,17 @@ def _segment_and_track_device(images_path, model,
     behind the track program for volume t on the in-order device stream,
     so seg(t+1) executes while the host is still assembling track(t+1)'s
     dispatch — neither stage ever waits on the other's host work.
+
+    ``mesh`` (VERDICT r4 #1): with a ``jax.sharding.Mesh``, segmentation
+    fans the volume stream out over the mesh's ``data_axis`` in
+    data-sharded groups (every device segments a different volume of the
+    group concurrently, the same SPMD program ``predict_and_save(mesh=)``
+    runs), while the serial tracking recurrence — inherently ordered,
+    reference semantics stardistwrapper.py:94 -> the notebook cell-23
+    loop — consumes the per-volume device outputs in t order on device 0.
+    Groups dispatch ONE batch ahead of the consumer, so the mesh segments
+    group k+1 while the host tracks group k.  Artifacts are bit-identical
+    to the single-device handoff (same per-volume programs; tested).
     """
     from ..io.prefetch import VolumePrefetcher
     from ..utils.profiling import StageTimer
@@ -379,29 +407,62 @@ def _segment_and_track_device(images_path, model,
     image_shape = transformer.proofed_segmentation.shape
     labels_u8 = transformer.coord_vol1.real.shape[0] <= 255
     miss = set(miss_frame or [])
+    axis = int(mesh.shape[data_axis]) if mesh is not None else 1
 
     def _load_raw(t):
         # percentiles on the prefetch thread; the h2d upload happens here
         # too, overlapping link latency with the previous volume's work
-        # (same mechanics as predict_and_save._load_raw)
+        # (same mechanics as predict_and_save._load_raw).  Mesh path:
+        # volumes stay on host — the stacked group is device_put with the
+        # batch sharding at dispatch
         from ..io.imageio import load_2d_slices_at_time
         x = load_2d_slices_at_time(images_path, t=t, do_normalize=False)
         mi, ma = np.percentile(x, [1.0, 99.8])
+        if mesh is not None:
+            return x, float(mi), float(ma)
         return jnp.asarray(x), float(mi), float(ma)
 
     loader = VolumePrefetcher(_load_raw, list(range(t_min, t_max + 1)),
-                              depth=2, workers=2)
+                              depth=2 if mesh is None else axis + 1,
+                              workers=2)
     seg_saver = _AsyncSegSaver(model, transformer.tree, results_dir,
                                t_min, tracker.max_cells)
     track_saver = _AsyncTrackSaver(transformer, tracker, images_path,
-                                   save_figures)
+                                   save_figures, seg_gate=seg_saver)
+    truncated = [False]
 
-    coords_t1 = transformer.coord_vol1
-    corrected_by_t: Dict[int, Coordinates] = {}
-    prev_pts = prev_kept = None
-    done_t = t_min - 1
-    try:
+    def _seg_stream():
+        """Yield ``(t, seg6)`` in t order, ``seg6`` the single-volume
+        device tuple ``(kept, probs, dists, points, prob_map, labels)``.
+        Without a mesh: one fused dispatch per volume.  With a mesh:
+        volumes after t_min dispatch as data-sharded groups of ``axis``
+        (padded tails repeat the last volume; the same one-compile
+        semantics as ``predict_and_save.flush_group``), pipelined one
+        group ahead; per-volume slices land on device 0 where the serial
+        tracking recurrence (and every model/atlas leaf) lives."""
+        from jax.sharding import NamedSharding, PartitionSpec
+        dev0 = jax.local_devices()[0]
+        data_sh = (NamedSharding(mesh, PartitionSpec(data_axis))
+                   if mesh is not None else None)
         it = iter(loader)
+        group: list = []
+        pending: Optional[list] = None
+
+        def _dispatch_group():
+            ts = [g[0] for g in group]
+            padded = group + [group[-1]] * (axis - len(group))
+            xs = jax.device_put(np.stack([g[1] for g in padded]), data_sh)
+            out = model._predict_batch_device(
+                xs, [g[2] for g in padded], [g[3] for g in padded],
+                mesh=mesh, data_axis=data_axis)
+            group.clear()
+            sliced = []
+            for i, t in enumerate(ts):
+                per = jax.device_put(
+                    jax.tree_util.tree_map(lambda a: a[i], out), dev0)
+                sliced.append((t, per + (None,)))
+            return sliced
+
         while True:
             try:
                 t, (x, mi, ma) = next(it)
@@ -409,14 +470,36 @@ def _segment_and_track_device(images_path, model,
                 break
             except FileNotFoundError:
                 # reference end-of-recording semantics
-                # (stardistwrapper.py:98-101) — but unlike a standalone
-                # seg sweep, tracking cannot continue past the truncation
-                raise RuntimeError(
-                    f"segmentation ended at t={done_t} before volume "
-                    f"{done_t + 1} (raw images missing from the "
-                    f"recording?); tracking cannot continue")
-            seg_out = model._predict_instances_device(
-                x, norm_minmax=(mi, ma), return_labels=(t == t_min))
+                # (stardistwrapper.py:98-101); already-dispatched volumes
+                # below still track, then the driver raises
+                truncated[0] = True
+                break
+            if mesh is None or t == t_min:
+                # vol 1 always runs the single-volume program (it renders
+                # the auto_vol1 labels), in both paths
+                yield t, model._predict_instances_device(
+                    x, norm_minmax=(mi, ma), return_labels=(t == t_min))
+            else:
+                group.append((t, x, mi, ma))
+                if len(group) == axis:
+                    d = _dispatch_group()
+                    if pending is not None:
+                        yield from pending
+                    pending = d
+        if group:
+            d = _dispatch_group()
+            if pending is not None:
+                yield from pending
+            pending = d
+        if pending is not None:
+            yield from pending
+
+    coords_t1 = transformer.coord_vol1
+    corrected_by_t: Dict[int, Coordinates] = {}
+    prev_pts = prev_kept = None
+    done_t = t_min - 1
+    try:
+        for t, seg_out in _seg_stream():
             kept, probs, dists, points, prob_map, _ = seg_out
             seg_saver.put(t, seg_out)
             if t == t_min:
@@ -456,6 +539,13 @@ def _segment_and_track_device(images_path, model,
                 raise track_saver.errors[0]
             if verbose and t > t_min:
                 print(f"tracked t={t}/{t_max}", end="\r")
+        if truncated[0]:
+            # unlike a standalone seg sweep, tracking cannot continue
+            # past the truncation
+            raise RuntimeError(
+                f"segmentation ended at t={done_t} before volume "
+                f"{done_t + 1} (raw images missing from the "
+                f"recording?); tracking cannot continue")
     finally:
         loader.close()
         seg_saver.close()
@@ -485,7 +575,7 @@ class _AsyncTrackSaver:
     device->host latency."""
 
     def __init__(self, transformer, tracker, images_path, save_figures,
-                 n_writers: int = 2, fetch_batch: int = 3):
+                 n_writers: int = 2, fetch_batch: int = 3, seg_gate=None):
         import queue
         import threading
 
@@ -493,6 +583,15 @@ class _AsyncTrackSaver:
         self.tracker = tracker
         self.images_path = images_path
         self.save_figures = save_figures
+        # when tracking runs CONCURRENTLY with an _AsyncSegSaver (the
+        # device-handoff driver), volume t2's track artifacts must not be
+        # written before its seg artifacts are complete and validated:
+        # the figure path re-reads seg/coords{t2}.npy (a racing read of a
+        # half-written npy aborted runs intermittently), and a seg
+        # validation failure (max_cells overflow) must not leave tracked
+        # artifacts derived from a silently truncated candidate set in a
+        # resumable tree (ADVICE r4).
+        self.seg_gate = seg_gate
         self.n_writers = n_writers
         self.fetch_batch = fetch_batch
         self.save_q: "queue.Queue" = queue.Queue(maxsize=2 + fetch_batch)
@@ -552,6 +651,10 @@ class _AsyncTrackSaver:
             if item is None:
                 return
             t2, real_np, labels_np, t1_real = item
+            if self.seg_gate is not None and \
+                    not self.seg_gate.wait_written(t2):
+                continue    # seg failed at/before t2: the driver surfaces
+                            # the seg error; write no dependent artifacts
             try:
                 self.transformer.save_tracking_results(
                     real_np, labels_np, t2, images_path=self.images_path)
@@ -589,8 +692,23 @@ class _AsyncSegSaver:
         self.progress_cb = progress_cb
         self.q: "queue.Queue" = queue.Queue(maxsize=2 + fetch_batch)
         self.errors: List[Exception] = []
+        # per-t completion watermark: volumes arrive and write in t order
+        # on the single run thread, so "written through t" is one integer.
+        # _AsyncTrackSaver gates its (disk-reading, resume-contract) writes
+        # on it — see wait_written (ADVICE r4 medium + low #2).
+        self._cond = threading.Condition()
+        self._done_t = t_min - 1
         self.thread = threading.Thread(target=self._run, daemon=True)
         self.thread.start()
+
+    def wait_written(self, t: int) -> bool:
+        """Block until volume ``t``'s seg artifacts are fully written;
+        returns False if the saver failed first (validation errors like
+        the max_cells overflow are TERMINAL: no later volume's artifacts
+        are written, so dependent track artifacts must not be either)."""
+        with self._cond:
+            self._cond.wait_for(lambda: self._done_t >= t or self.errors)
+            return self._done_t >= t
 
     def put(self, t: int, device_tuple) -> None:
         self.q.put((t, device_tuple))
@@ -618,6 +736,9 @@ class _AsyncSegSaver:
                                "auto_vol1_z%04i.tif")
         if self.progress_cb is not None:
             self.progress_cb(t)
+        with self._cond:
+            self._done_t = t
+            self._cond.notify_all()
 
     def _run(self):
         import queue
@@ -636,6 +757,9 @@ class _AsyncSegSaver:
                     done = True
                     break
                 batch.append(nxt)
+            if self.errors:
+                continue    # terminal: drain (so producers never block on
+                            # the bounded queue) but write nothing more
             try:
                 # skip dists — never part of the seg artifacts (~100 KB
                 # of d2h per volume saved)
@@ -648,6 +772,8 @@ class _AsyncSegSaver:
                         (kept, probs, None, points, prob_map, labels)))
             except Exception as e:
                 self.errors.append(e)
+                with self._cond:
+                    self._cond.notify_all()   # wake gated track writers
 
 
 @functools.lru_cache(maxsize=8)

@@ -163,7 +163,7 @@ class StarDist3D:
         formula (``stardistwrapper.py:71``): bit-identical to normalizing
         on host."""
         key = (tuple(orig_shape), return_labels, in_dtype,
-               self.lmax_prefilter)
+               self.lmax_prefilter, self.max_candidates, self.render_box)
         fn = self._fused.get(key)
         if fn is None:
             fn = jax.jit(self._make_instance_body(orig_shape, return_labels))
@@ -224,7 +224,7 @@ class StarDist3D:
         batching divides it by B.  No labels (the driver only persists
         labels for vol 1, which runs through the single-volume program)."""
         key = ("fusedB", tuple(orig_shape), batch, in_dtype,
-               self.lmax_prefilter)
+               self.lmax_prefilter, self.max_candidates, self.render_box)
         fn = self._fused.get(key)
         if fn is None:
             body = self._make_instance_body(orig_shape, False)
@@ -247,7 +247,8 @@ class StarDist3D:
         from jax.sharding import NamedSharding, PartitionSpec
 
         key = ("fusedB_sharded", tuple(orig_shape), batch, in_dtype,
-               mesh, data_axis, self.lmax_prefilter)
+               mesh, data_axis, self.lmax_prefilter, self.max_candidates,
+               self.render_box)
         fn = self._fused.get(key)
         if fn is None:
             body = self._make_instance_body(orig_shape, False)
@@ -510,7 +511,11 @@ class StarDist3D:
         """Global overlap -> greedy NMS -> (optional) label render over the
         concatenated per-tile candidates — same ops as the whole-volume
         fused program."""
-        key = ("combine", k, tuple(image_shape), return_labels)
+        # render_box in the key: bench/tune scripts mutate the recipe
+        # fields AFTER load (ADVICE r4) — a stale program would silently
+        # keep the old render box / candidate budget
+        key = ("combine", k, tuple(image_shape), return_labels,
+               self.render_box)
         fn = self._fused.get(key)
         if fn is not None:
             return fn

@@ -120,10 +120,19 @@ class TrainFFN:
                  voxel_size=(1, 1, 1),
                  basedir: Union[str, Path] = "./ffn_models",
                  learning_rate: float = 1e-3, seed: int = 0,
-                 config=None):
+                 config=None, mesh=None, data_axis: str = "data"):
         """``config``: optional :class:`t3dct.TrainFfnConfig` — overrides
         ``learning_rate``, sets :meth:`train`'s default iterations/epoch,
-        and parameterizes the synthesis generator."""
+        and parameterizes the synthesis generator.
+
+        ``mesh``: optional ``jax.sharding.Mesh`` — the sample batch is
+        sharded over ``data_axis`` (params/BN state replicated, gradients
+        and batch-norm statistics all-reduced by XLA SPMD: the BN mean/var
+        reductions run over the FULL logical batch, so the sharded step
+        computes the same model as the single-device one).  The batch
+        size must divide by the axis size.  Data-parallel counterpart of
+        ``TrainStarDist3D(mesh=)`` / ``TrainingUNet3D`` (VERDICT r4 #7);
+        reference training loop being scaled: ffn.py:185-214."""
         if config is not None:
             learning_rate = config.learning_rate
         self.config = config
@@ -159,7 +168,24 @@ class TrainFFN:
         self.points_t1 = np.asarray(norm)
         self.points_generator = DataGeneratorFFN(self.points_t1, seed=seed,
                                                  config=config)
-        self._train_step = jax.jit(self._train_step_impl)
+        self._batch_sharding = None
+        if mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+            axis = int(mesh.shape[data_axis])
+            if self.points_generator.batch_size % axis:
+                raise ValueError(
+                    f"batch_size {self.points_generator.batch_size} must "
+                    f"divide by the mesh's {data_axis!r} axis ({axis})")
+            replicated = NamedSharding(mesh, P())
+            self._batch_sharding = NamedSharding(mesh, P(data_axis))
+            self._train_step = jax.jit(
+                self._train_step_impl,
+                in_shardings=(replicated, replicated, replicated,
+                              self._batch_sharding, self._batch_sharding),
+                out_shardings=(replicated, replicated, replicated,
+                               replicated))
+        else:
+            self._train_step = jax.jit(self._train_step_impl)
 
     def _train_step_impl(self, params, bn_state, opt_state, x, y):
         def loss_fn(p, s):
@@ -187,10 +213,14 @@ class TrainFFN:
             # train_stardist.py for the measured cost)
             step_losses, n = [], 0
             for x, y in gen:
+                if self._batch_sharding is not None:
+                    x = jax.device_put(x, self._batch_sharding)
+                    y = jax.device_put(y, self._batch_sharding)
+                else:
+                    x, y = jnp.asarray(x), jnp.asarray(y)
                 self.params, self.bn_state, self.opt_state, loss = \
                     self._train_step(self.params, self.bn_state,
-                                     self.opt_state, jnp.asarray(x),
-                                     jnp.asarray(y))
+                                     self.opt_state, x, y)
                 step_losses.append(loss)
                 n += 1
                 if n > iteration:   # iteration+1 steps/epoch — the

@@ -183,7 +183,11 @@ class TrainStarDist3D:
     # ---- data ------------------------------------------------------------
     def _fg_indices(self, y: np.ndarray) -> np.ndarray:
         """Cached foreground voxel coordinates of a label volume
-        (stardist's ``train_sample_cache``)."""
+        (stardist's ``train_sample_cache``).  The cache is scoped to one
+        :meth:`train` call (cleared on entry and exit, ADVICE r4): within
+        a call the stored strong reference keeps ``y`` alive, so the
+        ``is``-identity guard below cannot be defeated by id() reuse, and
+        repeated ``train()`` calls with fresh arrays cannot grow memory."""
         cached = self._fg_cache.get(id(y))
         if cached is None or cached[0] is not y:
             self._fg_cache[id(y)] = (y, np.argwhere(y > 0))
@@ -245,6 +249,7 @@ class TrainStarDist3D:
                     raise ValueError(
                         f"volume shape {x.shape} smaller than patch "
                         f"{self.config.train_patch_size}")
+        self._fg_cache.clear()       # scope the fg-index cache to this call
         val_batches = []
         if X_val is not None:
             val_rng_state = self.rng.get_state()
@@ -311,6 +316,7 @@ class TrainStarDist3D:
                 print(msg)
         if keep_best and best_params is not None:
             self.params = jax.tree_util.tree_map(jnp.asarray, best_params)
+        self._fg_cache.clear()       # release the label-volume references
         self.save()
         return losses
 

@@ -114,6 +114,28 @@ class UNet3D:
         probs = jax.nn.sigmoid(logits_in)
         return probs, (new_state if train else state)
 
+    def receptive_radius(self) -> Tuple[int, int, int]:
+        """Per-axis receptive radius of :meth:`apply`: an output voxel
+        farther than this from a region boundary is unaffected by
+        anything beyond it.  Counts the two 3^3 convs per down/up level
+        (each +1 at that level's stride), the pool windows
+        (+(pool-1)*stride), and the full-resolution head convs — the
+        sound halo for :func:`t3dct.parallel.spatial.
+        make_spatially_sharded_apply` (exact interior)."""
+        n_levels = len(self.down_filters)
+        radii = []
+        for d in range(3):
+            p = self.pool[d]
+            r = 0
+            for lvl in range(n_levels):
+                r += 2 * p ** lvl            # two 3^3 convs per down level
+                r += (p - 1) * p ** lvl      # pool window
+            for i in range(len(self.up_filters)):
+                r += 2 * p ** (n_levels - i)  # two convs before upsample
+            r += len(self.head_filters)      # full-res head convs
+            radii.append(r)
+        return tuple(radii)
+
     # Convenience: volume-level tiled prediction driver lives in
     # engine/segmentation.py to keep the model purely functional.
 

@@ -360,6 +360,124 @@ def test_segment_and_track_device_handoff_parity(tmp_path):
 
 
 @pytest.mark.slow
+def test_segment_and_track_device_handoff_mesh_parity(tmp_path):
+    """segment_and_track(handoff='device', mesh=) — the mesh-capable
+    flagship composition (VERDICT r4 #1): segmentation fans the volume
+    stream over the mesh's data axis while the serial tracking recurrence
+    consumes the per-volume device outputs in order.  The artifact tree
+    and coordinates must be BIT-IDENTICAL to the single-device handoff.
+
+    Six volumes with a 4-wide data axis exercise a full group, a padded
+    tail group, and the one-group-ahead pipelining."""
+    from glob import glob
+
+    from t3dct.engine.pipeline import segment_and_track
+    from t3dct.io.imageio import imread_stack
+    from t3dct.parallel.mesh import make_mesh
+
+    n_vols = 6
+    raw_dir = tmp_path / "raw"
+    for t in range(1, n_vols + 1):
+        img, lab, _ = _volume_at(t)
+        img16 = (img / img.max() * 40000).astype(np.uint16)
+        save_label_slices(img16.transpose(1, 2, 0), raw_dir,
+                          "raw_t%03i_z%04i.tif", t, use_8_bit=False,
+                          compression=None)
+    _, lab1, _ = _volume_at(1)
+    model, ffn_w = _small_model_and_ffn()
+
+    mesh = make_mesh(4, 1)
+    results = {}
+    coords = {}
+    for name, m in (("single", None), ("mesh", mesh)):
+        res = tmp_path / f"results_{name}"
+        save_label_slices(lab1.transpose(1, 2, 0), res / "manual_vol1",
+                          "manual_vol1_t%04i_z%04i.tif", 0, use_8_bit=True,
+                          compression=None)
+        coords[name] = segment_and_track(
+            str(raw_dir / "raw_t%03i_z*.tif"), model, res,
+            str(res / "manual_vol1" / "*.tif"), ffn_w,
+            voxel_size=(1, 1, Z_RATIO), interpolation_factor=2,
+            t_range=(1, n_vols),
+            config=TrackingConfig(beta=10.0, lambda_=3.0, max_iteration=50),
+            verbose=False, handoff="device", mesh=m)
+        results[name] = res
+
+    assert set(coords["mesh"]) == set(coords["single"])
+    for t in range(1, n_vols + 1):
+        a, b = results["single"], results["mesh"]
+        np.testing.assert_array_equal(
+            np.load(a / "seg" / f"coords{t:06d}.npy"),
+            np.load(b / "seg" / f"coords{t:06d}.npy"),
+            err_msg=f"seg coords t={t}")
+        np.testing.assert_array_equal(
+            np.load(a / "seg" / f"prob{t:06d}.npy"),
+            np.load(b / "seg" / f"prob{t:06d}.npy"),
+            err_msg=f"seg prob t={t}")
+        np.testing.assert_array_equal(coords["single"][t],
+                                      coords["mesh"][t],
+                                      err_msg=f"tracked coords t={t}")
+        if t > 1:
+            np.testing.assert_array_equal(
+                np.load(a / "track_results" / "coords_real" /
+                        ("coords%06d.npy" % t)),
+                np.load(b / "track_results" / "coords_real" /
+                        ("coords%06d.npy" % t)))
+        la = imread_stack(sorted(glob(str(
+            a / "track_results" / "labels" / f"*t{t:06d}*.tif"))))
+        lb = imread_stack(sorted(glob(str(
+            b / "track_results" / "labels" / f"*t{t:06d}*.tif"))))
+        np.testing.assert_array_equal(la, lb, err_msg=f"labels t={t}")
+    for res in results.values():
+        assert (res / "auto_vol1" / "auto_vol1_z0001.tif").exists()
+
+
+@pytest.mark.slow
+def test_track_saver_gated_on_seg_failure(tmp_path, monkeypatch):
+    """ADVICE r4: a seg artifact validation failure (e.g. the max_cells
+    overflow ``_AsyncSegSaver._write_one`` raises) must not leave track
+    artifacts for volumes at/after the failure in the resumable tree —
+    seg errors are TERMINAL for the seg watermark, the gated track writer
+    skips every dependent volume (without deadlocking), and the driver
+    surfaces the seg error."""
+    import t3dct.engine.pipeline as pl
+    from t3dct.engine.pipeline import segment_and_track
+
+    raw_dir, lab1 = _write_recording(tmp_path)
+    model, ffn_w = _small_model_and_ffn()
+    res = tmp_path / "res_segfail"
+    save_label_slices(lab1.transpose(1, 2, 0), res / "manual_vol1",
+                      "manual_vol1_t%04i_z%04i.tif", 0, use_8_bit=True,
+                      compression=None)
+    orig = pl._AsyncSegSaver._write_one
+
+    def failing(self, t, finalized):
+        if t >= 2:
+            raise ValueError(
+                f"{t} cells exceeds max_cells (synthetic failure)")
+        return orig(self, t, finalized)
+
+    monkeypatch.setattr(pl._AsyncSegSaver, "_write_one", failing)
+    with pytest.raises(ValueError, match="exceeds max_cells"):
+        segment_and_track(
+            str(raw_dir / "raw_t%03i_z*.tif"), model, res,
+            str(res / "manual_vol1" / "*.tif"), ffn_w,
+            voxel_size=(1, 1, Z_RATIO), interpolation_factor=2,
+            t_range=(1, N_VOLS),
+            config=TrackingConfig(beta=10.0, lambda_=3.0,
+                                  max_iteration=50),
+            verbose=False, handoff="device")
+    # the failure hits volume 2's seg artifacts: NO track artifacts may
+    # have been written for t>=2 (they would encode coords derived from
+    # an unvalidated candidate set); coords000001.npy is the manual-vol1
+    # seed the first save emits and does not depend on seg artifacts
+    coords_dir = res / "track_results" / "coords_real"
+    if coords_dir.exists():
+        assert [p.name for p in sorted(coords_dir.glob("*.npy"))] in \
+            ([], ["coords000001.npy"])
+
+
+@pytest.mark.slow
 def test_segment_and_track_device_handoff_truncation_and_miss(tmp_path):
     """Device handoff keeps the composition's failure semantics: a
     truncated recording raises the clear RuntimeError, and miss frames

@@ -66,6 +66,38 @@ def test_generator_shapes_and_labels():
 
 
 @pytest.mark.slow
+def test_train_ffn_mesh_matches_single_device(tmp_path):
+    """TrainFFN(mesh=) (VERDICT r4 #7): the data-sharded step trains the
+    SAME model as the single-device one — gradients and the batch-norm
+    statistics all-reduce over the full logical batch, so only the f32
+    reduction order differs."""
+    from t3dct.parallel.mesh import make_mesh
+
+    rng = np.random.RandomState(7)
+    pts = rng.randn(24, 3).astype(np.float32) * 0.3
+    np.savetxt(tmp_path / "points.txt", pts)
+
+    trainers = {}
+    for name, mesh in (("single", None), ("mesh", make_mesh(8, 1))):
+        trainers[name] = TrainFFN(
+            f"ffn_{name}", points1_path=str(tmp_path / "points.txt"),
+            basedir=tmp_path / name, seed=0, mesh=mesh)
+        trainers[name].losses = trainers[name].train(
+            num_epochs=1, iteration=12, verbose=False)
+    np.testing.assert_allclose(trainers["single"].losses,
+                               trainers["mesh"].losses, rtol=2e-5)
+    flat_s = jax.tree_util.tree_leaves(trainers["single"].params)
+    flat_m = jax.tree_util.tree_leaves(trainers["mesh"].params)
+    for a, b in zip(flat_s, flat_m):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-4, atol=1e-6)
+
+    with pytest.raises(ValueError, match="divide"):
+        TrainFFN("bad", points1_path=str(tmp_path / "points.txt"),
+                 basedir=tmp_path / "bad", seed=0, mesh=make_mesh(8, 1),
+                 config=__import__("t3dct").TrainFfnConfig(batch_size=30))
+
+
 def test_training_improves_matching(tmp_path):
     rng = np.random.RandomState(5)
     pts = rng.randn(30, 3).astype(np.float32) * 0.3
