@@ -45,13 +45,13 @@ from t3dct.utils import enable_compilation_cache    # noqa: E402
 enable_compilation_cache()
 
 Z, Y, X = 64, 512, 512          # (z, y, x) raw frame
-N_CELLS = 1000
+N_CELLS = 600
 N_VOLS = 4
 GRID = (2, 4, 4)
 VOXEL_SIZE = (1.0, 1.0, 4.0)
 TILE = (None, 176, 176)
-CACHE_VERSION = "r5-zf-sd8x30w64"
-SD_EPOCHS, SD_STEPS = 8, 30
+CACHE_VERSION = "r5-zf-sd24x30w64-c600"
+SD_EPOCHS, SD_STEPS = 24, 30
 FFN_ITERS = 400
 
 
@@ -67,10 +67,10 @@ def make_centers(rng):
     """N_CELLS rejection-sampled centers, drifting smoothly per t."""
     centers = []
     while len(centers) < N_CELLS:
-        c = np.array([rng.uniform(5, Z - 5), rng.uniform(14, Y - 14),
-                      rng.uniform(14, X - 14)])
-        if all((abs(c[0] - o[0]) > 3.0) or (np.hypot(c[1] - o[1],
-                                                     c[2] - o[2]) > 11)
+        c = np.array([rng.uniform(6, Z - 6), rng.uniform(18, Y - 18),
+                      rng.uniform(18, X - 18)])
+        if all((abs(c[0] - o[0]) > 4.5) or (np.hypot(c[1] - o[1],
+                                                     c[2] - o[2]) > 17)
                for o in centers):
             centers.append(c)
     c0 = np.asarray(centers, np.float32)
@@ -85,14 +85,14 @@ def make_centers(rng):
 
 
 def render_volume(c, rng, labels=False):
-    sig = (1.4, 3.2, 3.2)
+    sig = (1.6, 5.5, 5.5)
     img = rng.rand(Z, Y, X).astype(np.float32) * 0.25   # high noise
     lab = np.zeros((Z, Y, X), np.int32) if labels else None
     zz = np.arange(Z, dtype=np.float32)
     for i, (cz, cy, cx) in enumerate(c):
-        z0, z1 = max(0, int(cz) - 4), min(Z, int(cz) + 5)
-        y0, y1 = max(0, int(cy) - 9), min(Y, int(cy) + 10)
-        x0, x1 = max(0, int(cx) - 9), min(X, int(cx) + 10)
+        z0, z1 = max(0, int(cz) - 5), min(Z, int(cz) + 6)
+        y0, y1 = max(0, int(cy) - 16), min(Y, int(cy) + 17)
+        x0, x1 = max(0, int(cx) - 16), min(X, int(cx) + 17)
         lz = (zz[z0:z1] - cz) / sig[0]
         ly = (np.arange(y0, y1) - cy) / sig[1]
         lx = (np.arange(x0, x1) - cx) / sig[2]
@@ -264,9 +264,9 @@ def bench_legacy_chain(lab1, rng):
     c1 = make_centers(np.random.RandomState(7))[1]
     zz = np.arange(Z, dtype=np.float32)
     for (cz, cy, cx) in c1:
-        z0, z1 = max(0, int(cz) - 4), min(Z, int(cz) + 5)
-        y0, y1 = max(0, int(cy) - 9), min(Y, int(cy) + 10)
-        x0, x1 = max(0, int(cx) - 9), min(X, int(cx) + 10)
+        z0, z1 = max(0, int(cz) - 5), min(Z, int(cz) + 6)
+        y0, y1 = max(0, int(cy) - 16), min(Y, int(cy) + 17)
+        x0, x1 = max(0, int(cx) - 16), min(X, int(cx) + 17)
         lz = (zz[z0:z1] - cz) / 1.4
         ly = (np.arange(y0, y1) - cy) / 3.2
         lx = (np.arange(x0, x1) - cx) / 3.2
@@ -279,7 +279,7 @@ def bench_legacy_chain(lab1, rng):
 
     ws_sweep = {}
     ref_labels = None
-    for max_iters in (512, 128, 64):
+    for max_iters in (512, 128, 64, 32, 16):
         ws2d, _ = watershed_2d(prob_xyz, min_distance=7,
                                max_iters=max_iters)
         out = watershed_3d(ws2d, samplingrate=(1.0, 1.0, VOXEL_SIZE[2]),
@@ -294,8 +294,9 @@ def bench_legacy_chain(lab1, rng):
                            method="min_size", min_size=cfg.min_size,
                            cell_num=0, min_distance=3, max_labels=1024,
                            max_iters=max_iters)
-        labels_np = np.asarray(jax.device_get(out[1]))
+        _sync(out[1])               # scalar checksum: compute, no 64 MB fetch
         dt_ms = (time.perf_counter() - t0) * 1e3
+        labels_np = np.asarray(jax.device_get(out[1]))   # untimed
         n_cells = int(len(np.unique(labels_np)) - 1)
         if ref_labels is None:
             ref_labels = labels_np
@@ -330,6 +331,11 @@ def main():
         res_tree = work / "results"
         t_seg = bench_tiled_seg(images_path, res_tree, model)
         n1 = np.load(res_tree / "seg" / "coords000001.npy").shape[0]
+        if n1 < N_CELLS // 4:
+            raise RuntimeError(
+                f"trained model found only {n1}/{N_CELLS} cells at t=1 — "
+                f"timing tracking on it would be meaningless (stale "
+                f"cache? clear {cache_dir()})")
         results["stardist_tiled_seg_s_per_vol"] = round(t_seg, 2)
         results["cells_detected_t1"] = int(n1)
         print(f"seg {t_seg:.2f}s/vol, {n1} cells", flush=True)
