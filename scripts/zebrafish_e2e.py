@@ -7,11 +7,16 @@ Three measurements at (z=64, y=512, x=512), all previously unmeasured:
 1. **Legacy U-Net + watershed chain** (`UNetSegmenter.segment`
    semantics, reference tracker.py:605-684): tiled unet3_a inference
    wall + queued device time, then `watershed_2d` + `watershed_3d` +
-   relabel on a realistic 1000-cell probability volume — including a
+   relabel on a realistic 600-cell probability volume — including a
    `max_iters` sweep quantifying the relaxation-iteration question at
    512^2 slices (the flood's while_loop exits on convergence; the sweep
    shows where convergence lands and what the iterations cost).
-2. **Zebrafish seg+track composition**: tiled StarDist
+2. **Zebrafish seg+track composition** (grid (2,2,2): the "tpu" arch
+   max-pools the raw input by the grid before the stem — at (2,4,4) a
+   32-voxel pool erases the sub-grid structure of ~5-voxel cells and the
+   prob head cannot converge; (2,2,2) matches the worm recipe's
+   grid-resolution object size.  The (2,4,4) random-init device timing
+   remains in scripts/zebrafish_device.json): tiled StarDist
    (`predict_and_save(tile_shape=...)`) over a 4-volume synthetic
    recording with a model TRAINED on vol-1 GT (cached), then
    `track_timelapse` over those REAL seg artifacts — wall per volume for
@@ -47,10 +52,10 @@ enable_compilation_cache()
 Z, Y, X = 64, 512, 512          # (z, y, x) raw frame
 N_CELLS = 600
 N_VOLS = 4
-GRID = (2, 4, 4)
+GRID = (2, 2, 2)
 VOXEL_SIZE = (1.0, 1.0, 4.0)
 TILE = (None, 176, 176)
-CACHE_VERSION = "r5-zf-sd24x30w64-c600"
+CACHE_VERSION = "r5-zf-sd24x30w64-c600-g222"
 SD_EPOCHS, SD_STEPS = 24, 30
 FFN_ITERS = 400
 
@@ -225,7 +230,7 @@ def bench_legacy_chain(lab1, rng):
     """The reference's OTHER segmentation family at zebrafish scale:
     LCN + tiled unet3_a + watershed_2d/3d + relabel + centers
     (tracker.py:605-684).  U-Net timed on the raw image (content-free,
-    static shapes); the watershed stage timed on a realistic 1000-cell
+    static shapes); the watershed stage timed on a realistic 600-cell
     probability volume derived from the GT labels (the flood's
     while_loop iteration count IS content-dependent — this is the open
     512^2 scaling question, quantified by the max_iters sweep)."""
