@@ -415,9 +415,9 @@ def _segment_and_track_device(images_path, model,
         # (same mechanics as predict_and_save._load_raw).  Mesh path:
         # volumes stay on host — the stacked group is device_put with the
         # batch sharding at dispatch
-        from ..io.imageio import load_2d_slices_at_time
+        from ..io.imageio import load_2d_slices_at_time, fast_percentiles
         x = load_2d_slices_at_time(images_path, t=t, do_normalize=False)
-        mi, ma = np.percentile(x, [1.0, 99.8])
+        mi, ma = fast_percentiles(x, (1.0, 99.8))
         if mesh is not None:
             return x, float(mi), float(ma)
         return jnp.asarray(x), float(mi), float(ma)

@@ -23,8 +23,8 @@ import numpy as np
 
 from ..config import StarDistConfig
 from ..io.artifacts import ResultsTree
-from ..io.imageio import (get_t_range, load_2d_slices_at_time,
-                          save_volume_slices)
+from ..io.imageio import (fast_percentiles, get_t_range,
+                          load_2d_slices_at_time, save_volume_slices)
 from ..io.prefetch import VolumePrefetcher
 from ..models.stardist3d import StarDist3DNet, sparse_candidates
 from ..ops.nms import greedy_nms, overlap_matrix, render_polyhedra_labels
@@ -913,7 +913,7 @@ def predict_and_save(images_path, model: StarDist3D,
 
     def _load_raw(t):
         x = load_2d_slices_at_time(images_path, t=t, do_normalize=False)
-        mi, ma = np.percentile(x, [1.0, 99.8])
+        mi, ma = fast_percentiles(x, (1.0, 99.8))
         if tile_shape is not None or mesh is not None:
             # tiled path: predict_instances_tiled pads + uploads the
             # volume itself (device-resident tile slicing); mesh path:

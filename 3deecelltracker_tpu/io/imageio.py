@@ -116,6 +116,51 @@ def imread_stack(paths: List[str]) -> np.ndarray:
     return out
 
 
+def fast_percentiles(x: np.ndarray, qs) -> np.ndarray:
+    """``np.percentile(x, qs)`` (linear interpolation) via an exact
+    counting sort for small-range non-negative integer arrays.
+
+    On megavoxel uint16 microscopy volumes the partition-based numpy
+    path costs ~50 ms/volume of host CPU — the dominant *compute* cost
+    of the shipped pipeline's prefetch thread on a 1-core host (see
+    scripts/host_profile.json).  A 65536-bin ``bincount`` + cumulative
+    sum reproduces numpy's sorted-order lerp bit-for-bit (the k-th
+    smallest value is recovered exactly from the cumulative histogram)
+    at ~20x less cost.  Falls back to ``np.percentile`` for float or
+    wide-range input.  Reference semantics: csbdeep normalize percentiles
+    at ``stardistwrapper.py:71``."""
+    qs_arr = np.atleast_1d(np.asarray(qs, np.float64))
+    if x.dtype == np.bool_:
+        x = x.view(np.uint8)
+    if not np.issubdtype(x.dtype, np.integer) or x.size == 0:
+        return np.percentile(x, qs_arr)
+    flat = x.ravel()
+    if flat.dtype not in (np.uint8, np.uint16):
+        lo, hi = flat.min(), flat.max()
+        if lo < 0 or hi >= (1 << 20):        # bincount table too large
+            return np.percentile(x, qs_arr)
+    counts = None
+    if flat.dtype == np.uint16:
+        from ..native.tiff import hist_u16
+        counts = hist_u16(flat)              # C histogram, GIL released
+    if counts is None:
+        counts = np.bincount(flat)
+    csum = np.cumsum(counts)
+    n = int(flat.size)
+    out = np.empty(qs_arr.shape, np.float64)
+    for i, q in enumerate(qs_arr):
+        pos = q / 100.0 * (n - 1)
+        k = int(np.floor(pos))
+        d = pos - k
+        vk = float(np.searchsorted(csum, k + 1, side="left"))
+        if d > 0.0:
+            vk1 = float(np.searchsorted(csum, min(k + 2, n), side="left"))
+            # numpy's lerp: a + (b - a) * t, computed in float64
+            vk = vk + (vk1 - vk) * d
+        out[i] = vk
+    return out
+
+
 def percentile_normalize(x: np.ndarray, pmin: float = 1.0,
                          pmax: float = 99.8,
                          eps: float = 1e-20,
@@ -123,6 +168,12 @@ def percentile_normalize(x: np.ndarray, pmin: float = 1.0,
     """csbdeep.utils.normalize semantics (``stardistwrapper.py:71``);
     ``axis`` limits the percentile reduction (e.g. (0, 1, 2) normalizes
     each channel of a (z, y, x, c) volume independently)."""
+    if axis is None and np.issubdtype(x.dtype, np.integer):
+        # exact counting-sort percentiles on the raw integers, cast to
+        # f32 scalars to keep the arithmetic (and output dtype) f32 as
+        # with the partition path below
+        mi, ma = np.float32(fast_percentiles(x, (pmin, pmax)))
+        return (x.astype(np.float32, copy=False) - mi) / (ma - mi + eps)
     x = x.astype(np.float32, copy=False)
     mi = np.percentile(x, pmin, axis=axis, keepdims=axis is not None)
     ma = np.percentile(x, pmax, axis=axis, keepdims=axis is not None)

@@ -52,6 +52,9 @@ def _build() -> Optional[ctypes.CDLL]:
             ctypes.POINTER(ctypes.c_char_p), ctypes.c_int,
             ctypes.POINTER(ctypes.c_uint16), ctypes.c_int, ctypes.c_int,
             ctypes.c_int, ctypes.c_int, ctypes.c_int]
+        lib.t3dct_hist_u16.argtypes = [
+            ctypes.POINTER(ctypes.c_uint16), ctypes.c_longlong,
+            ctypes.POINTER(ctypes.c_uint64)]
         return lib
     except Exception:
         _build_failed = True
@@ -124,6 +127,21 @@ def tiff_read_volume(paths: List[str],
     if rc:
         return None
     return out.astype(np.uint8) if bits == 8 else out
+
+
+def hist_u16(x: np.ndarray) -> Optional[np.ndarray]:
+    """Exact 65536-bin histogram of a uint16 array at memory bandwidth
+    (GIL released); None -> caller falls back to np.bincount."""
+    lib = _get_lib()
+    if lib is None or x.dtype != np.uint16:
+        return None
+    flat = np.ascontiguousarray(x).ravel()
+    counts = np.empty(65536, np.uint64)
+    rc = lib.t3dct_hist_u16(
+        flat.ctypes.data_as(ctypes.POINTER(ctypes.c_uint16)),
+        ctypes.c_longlong(flat.size),
+        counts.ctypes.data_as(ctypes.POINTER(ctypes.c_uint64)))
+    return None if rc else counts
 
 
 def tiff_write(path: str, img: np.ndarray, lzw: bool = False) -> bool:

@@ -212,8 +212,13 @@ def save_merged_labels(tree, corrected_labels_image, images_path, t: int,
     d2 = tree.root / "track_results" / "merged_labels_xz"
     d1.mkdir(parents=True, exist_ok=True)
     d2.mkdir(parents=True, exist_ok=True)
-    merged.save(str(d1 / ("merged_labels_t%06d.png" % t)))
-    merged_xz.save(str(d2 / ("merged_labels_xz_t%06d.png" % t)))
+    # compress_level=1: the zlib stage of PIL's PNG encode is ~10 ms/vol
+    # of the 1-core host budget at level 6 (scripts/host_profile.json);
+    # level 1 is still lossless PNG, just larger files
+    merged.save(str(d1 / ("merged_labels_t%06d.png" % t)),
+                compress_level=1)
+    merged_xz.save(str(d2 / ("merged_labels_xz_t%06d.png" % t)),
+                   compress_level=1)
 
 
 def optimize_row_column(duration, n_signals, figsize):

@@ -47,6 +47,45 @@ def test_percentile_normalize_matches_csbdeep_formula():
     np.testing.assert_allclose(got, (x - mi) / (ma - mi + 1e-20), rtol=1e-5)
 
 
+def test_fast_percentiles_exact_vs_numpy():
+    """The counting-sort path must reproduce np.percentile's linear
+    interpolation bit-for-bit on integer volumes (it feeds the on-device
+    normalization scalars of every pipeline driver)."""
+    from t3dct.io.imageio import fast_percentiles
+    rng = np.random.RandomState(7)
+    qs = (0.0, 1.0, 37.5, 50.0, 99.8, 100.0)
+    cases = [
+        rng.randint(0, 65536, size=100_000).astype(np.uint16),
+        rng.randint(0, 256, size=9973).astype(np.uint8),
+        rng.randint(0, 5, size=1000).astype(np.uint16),   # heavy ties
+        np.array([3], np.uint16),                          # n == 1
+        np.array([7, 7, 7, 7], np.uint16),                 # constant
+        np.array([0, 65535], np.uint16),                   # extremes
+        rng.randint(0, 1 << 18, size=5000).astype(np.int32),
+    ]
+    for x in cases:
+        got = fast_percentiles(x, qs)
+        want = np.percentile(x, qs)
+        np.testing.assert_array_equal(got, want)
+    # wide-range / float / negative input falls back to np.percentile
+    for x in (rng.randn(1000).astype(np.float32),
+              np.array([-1, 5, 9], np.int32),
+              (rng.randint(0, 1 << 30, size=64)).astype(np.int64)):
+        np.testing.assert_array_equal(fast_percentiles(x, qs),
+                                      np.percentile(x, qs))
+
+
+def test_percentile_normalize_integer_path_matches_float_path():
+    """The integer fast path of percentile_normalize must agree with the
+    partition path it replaces (same f32 scalars, same arithmetic)."""
+    rng = np.random.RandomState(3)
+    x = rng.randint(0, 4096, size=(8, 50, 60)).astype(np.uint16)
+    got = percentile_normalize(x)
+    want = percentile_normalize(x.astype(np.float32))
+    assert got.dtype == np.float32
+    np.testing.assert_allclose(got, want, rtol=2e-7, atol=2e-7)
+
+
 def test_tiff_t_range_and_missing(tmp_path):
     vol = (np.random.RandomState(2).rand(8, 10, 3) * 255).astype(np.uint8)
     for t in (2, 3, 5):

@@ -167,3 +167,23 @@ def test_read_rejects_absurd_dimensions(tmp_path):
     q = str(tmp_path / "dim_bad.tif")
     open(q, "wb").write(bytes(data))
     assert tiff_read(q) is None
+
+
+def test_hist_u16_matches_bincount():
+    """The C histogram must agree with np.bincount for every tail-loop
+    remainder (n % 4) and on empty/constant input."""
+    from t3dct.native.tiff import hist_u16, native_available
+    if not native_available():
+        import pytest
+        pytest.skip("native codec unavailable")
+    rng = np.random.RandomState(11)
+    for n in (0, 1, 2, 3, 4, 5, 7, 1000, 1003):
+        x = rng.randint(0, 65536, size=n).astype(np.uint16)
+        got = hist_u16(x)
+        assert got is not None
+        np.testing.assert_array_equal(
+            got, np.bincount(x, minlength=65536).astype(np.uint64))
+    x = np.full(37, 65535, np.uint16)                  # max-value ties
+    np.testing.assert_array_equal(
+        hist_u16(x), np.bincount(x, minlength=65536).astype(np.uint64))
+    assert hist_u16(np.zeros(4, np.uint8)) is None     # wrong dtype
