@@ -394,10 +394,19 @@ def _sync(x):
 
 
 def calibrate_link(nbytes=4 * MB, n=4):
-    """This run's RPC latency + h2d/d2h bandwidth, with the fixed
-    methodology of scripts/measure_link_floor.py (incompressible
-    payloads; n DISTINCT device arrays for d2h — jax.Array caches the
-    fetched host copy; latency subtracted from bandwidth probes)."""
+    """This run's RPC latency, h2d/d2h bandwidth, and DUPLEXITY, with
+    the fixed methodology of scripts/measure_link_floor.py
+    (incompressible payloads; DISTINCT device arrays for every d2h leg —
+    jax.Array caches the fetched host copy; latency subtracted from
+    bandwidth probes).
+
+    Duplexity δ = (solo h2d wall + solo d2h wall) / concurrent wall for
+    the same transfers on two threads: 1.0 = the tunnel serializes
+    directions, 2.0 = full duplex.  Measured ~1.3-1.4 on this tunnel
+    (scripts/link_duplex_probe.json; same-direction extra streams gain
+    nothing — the cap is link-wide, so δ is the only overlap there is)."""
+    import threading
+
     import jax
     import jax.numpy as jnp
 
@@ -415,23 +424,42 @@ def calibrate_link(nbytes=4 * MB, n=4):
     t0 = time.perf_counter()
     for _ in range(n):
         jax.device_get(fu(host))
-    bw_up = nbytes / max((time.perf_counter() - t0) / n - lat, 1e-9)
+    up_wall = time.perf_counter() - t0
+    bw_up = nbytes / max(up_wall / n - lat, 1e-9)
 
     fd = jax.jit(lambda i: jax.random.bits(jax.random.PRNGKey(i),
                                            (nbytes,), jnp.uint8))
-    devs = [fd(jnp.uint32(i)) for i in range(n)]
+    devs = [fd(jnp.uint32(i)) for i in range(2 * n)]
     for d in devs:
         _sync(d)
     t0 = time.perf_counter()
-    for d in devs:
+    for d in devs[:n]:
         np.asarray(jax.device_get(d))
-    bw_dn = nbytes / max((time.perf_counter() - t0) / n - lat, 1e-9)
-    return lat, bw_up, bw_dn
+    dn_wall = time.perf_counter() - t0
+    bw_dn = nbytes / max(dn_wall / n - lat, 1e-9)
+
+    # duplexity: same legs concurrently (fresh device arrays for d2h)
+    def _up():
+        for _ in range(n):
+            jax.device_get(fu(host))
+
+    def _dn():
+        for d in devs[n:]:
+            np.asarray(jax.device_get(d))
+
+    th = threading.Thread(target=_dn)
+    t0 = time.perf_counter()
+    th.start()
+    _up()
+    th.join()
+    both_wall = time.perf_counter() - t0
+    duplexity = max((up_wall + dn_wall) / max(both_wall, 1e-9), 1.0)
+    return lat, bw_up, bw_dn, duplexity
 
 
-def link_floor_vps(lat, bw_up, bw_dn, handoff: str):
+def link_floor_vps(lat, bw_up, bw_dn, handoff: str, duplexity=None):
     """Zero-compute link ceilings for the composition's per-volume bytes,
-    as a (serial, duplex) BRACKET (VERDICT r4 #2).
+    as a (serial, measured, duplex) BRACKET (VERDICT r4 #2).
 
     ``serial`` sums h2d + d2h + RPC latency as if one thread did
     everything in order — the correct floor for a half-duplex link with
@@ -441,9 +469,13 @@ def link_floor_vps(lat, bw_up, bw_dn, handoff: str):
     (3.24 > 2.74 vol/s).  ``duplex`` is the overlap-aware bound: with
     both directions in flight concurrently and latency hidden by
     threading, the steady-state per-volume time cannot beat the busier
-    direction, max(h2d/bw_up, d2h/bw_dn).  The truth lies between (the
-    tunnel's actual duplexity is unknown); the wall must never exceed
-    the duplex ceiling."""
+    direction, max(h2d/bw_up, d2h/bw_dn).  When ``duplexity`` (the
+    per-run measured direction-overlap factor from :func:`calibrate_link`)
+    is given, a third, ATTAINABLE ceiling resolves the bracket:
+    transfers / duplexity with thread-hidden latency — the tunnel is
+    only partially duplex (~1.3x, scripts/link_duplex_probe.json), so
+    the ideal duplex bound is provably out of reach.  The wall must
+    never exceed the duplex ceiling."""
     gz, gy, gx = -(-Z // GRID[0]), -(-Y // GRID[1]), -(-X // GRID[2])
     vol_u16 = Z * Y * X * 2
     prob_f16 = gz * gy * gx * 2
@@ -462,7 +494,12 @@ def link_floor_vps(lat, bw_up, bw_dn, handoff: str):
         rpcs = 2.0
     serial_s = h2d / bw_up + d2h / bw_dn + rpcs * lat
     duplex_s = max(h2d / bw_up, d2h / bw_dn)
-    return 1.0 / serial_s, 1.0 / duplex_s, h2d, d2h
+    measured_s = None
+    if duplexity is not None:
+        measured_s = max((h2d / bw_up + d2h / bw_dn) / duplexity,
+                         duplex_s)
+    return (1.0 / serial_s, 1.0 / duplex_s,
+            None if measured_s is None else 1.0 / measured_s, h2d, d2h)
 
 
 def program_flops(jitted, *args, **kwargs):
@@ -513,7 +550,8 @@ def bench_device_only(images_path, results: Path, model, ffn_w, n=10):
     vols = []
     for t in range(1, n + 2):
         x = load_2d_slices_at_time(images_path, t=t, do_normalize=False)
-        mi, ma = np.percentile(x, [1.0, 99.8])
+        from t3dct.io.imageio import fast_percentiles
+        mi, ma = fast_percentiles(x, (1.0, 99.8))
         vols.append((jnp.asarray(x), float(mi), float(ma)))
     _sync(vols[-1][0])          # uploads complete before timing
 
@@ -619,11 +657,11 @@ def main():
         t_disk, _ = bench_composition(images_path, work / "results_disk",
                                       lab1, model, ffn_w, handoff="disk")
 
-        lat, bw_up, bw_dn = calibrate_link()
-        floor_ser, floor_dup, h2d_b, d2h_b = link_floor_vps(
-            lat, bw_up, bw_dn, "device")
-        floor_disk_ser, floor_disk_dup, _, _ = link_floor_vps(
-            lat, bw_up, bw_dn, "disk")
+        lat, bw_up, bw_dn, duplexity = calibrate_link()
+        floor_ser, floor_dup, floor_meas, h2d_b, d2h_b = link_floor_vps(
+            lat, bw_up, bw_dn, "device", duplexity=duplexity)
+        floor_disk_ser, floor_disk_dup, floor_disk_meas, _, _ = \
+            link_floor_vps(lat, bw_up, bw_dn, "disk", duplexity=duplexity)
         dev_only, seg_dev, f_seg, f_track = bench_device_only(
             images_path, work / "results_dev0", model, ffn_w)
         track_dev = max(dev_only - seg_dev, 1e-9)
@@ -665,19 +703,23 @@ def main():
                         if train_s else "; StarDist weights from cache")),
             "vs_baseline": round(vols_per_sec / REFERENCE_VOLS_PER_SEC, 2),
             "device_only_vols_per_sec": round(1.0 / dev_only, 2),
-            # the serial/duplex pair BRACKETS the zero-compute ceiling
-            # (VERDICT r4 #2): the shipped pipeline overlaps both link
-            # directions on threads, so wall may exceed the serial floor
-            # but must stay below the duplex one
+            # serial/duplex BRACKET the zero-compute ceiling (VERDICT
+            # r4 #2); "measured" resolves it with this run's measured
+            # direction-overlap factor (the tunnel is only partially
+            # duplex — scripts/link_duplex_probe.json)
             "link_floor_serial_vols_per_sec": round(floor_ser, 2),
             "link_floor_duplex_vols_per_sec": round(floor_dup, 2),
+            "link_floor_measured_vols_per_sec": round(floor_meas, 2),
             "link": {"rpc_ms": round(lat * 1e3, 1),
                      "h2d_MBps": round(bw_up / MB, 1),
                      "d2h_MBps": round(bw_dn / MB, 1),
+                     "duplexity": round(duplexity, 2),
                      "bytes_up_per_vol": h2d_b,
                      "bytes_down_per_vol": d2h_b,
                      "link_floor_disk_serial": round(floor_disk_ser, 2),
-                     "link_floor_disk_duplex": round(floor_disk_dup, 2)},
+                     "link_floor_disk_duplex": round(floor_disk_dup, 2),
+                     "link_floor_disk_measured":
+                         round(floor_disk_meas, 2)},
             "device_mfu": mfu,
             "tracking_identity": id_metrics,
             "mesh_scaling": (
