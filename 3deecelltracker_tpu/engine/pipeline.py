@@ -565,6 +565,20 @@ def _segment_and_track_device(images_path, model,
     return coords_by_t
 
 
+def _maybe_rle_labels(labels_dev, max_cells: int):
+    """Dispatch an on-device RLE of the tracked label volume (sized by
+    :func:`~..ops.rle.runs_budget`) when the encoding meaningfully
+    shrinks the device->host payload; None at shapes where dense is
+    already cheap (tiny tests).  The dense buffer stays the overflow
+    fallback — see ``_AsyncTrackSaver._fetcher``."""
+    from ..ops.rle import rle_encode, runs_budget, worth_encoding
+    n = int(np.prod(labels_dev.shape))
+    r = runs_budget(n, max_cells)
+    if not worth_encoding(n, r, labels_dev.dtype.itemsize):
+        return None
+    return rle_encode(labels_dev.reshape(-1), r)
+
+
 class _AsyncTrackSaver:
     """Async tracked-artifact writer shared by :func:`track_timelapse` and
     the device-handoff driver: a fetcher thread drains the queue greedily
@@ -572,7 +586,15 @@ class _AsyncTrackSaver:
     (round 2 paid one RPC per volume — ~15-20 ms/vol of pure link latency
     at the measured wall), then ``n_writers`` writer threads run the
     TIFF/npy/figure codecs — the device loop never waits on codecs or
-    device->host latency."""
+    device->host latency.
+
+    Labels ride the link RUN-LENGTH ENCODED (``ops/rle.py``): at worm
+    scale the dense (32,224,224) uint8 volume is ~1.6 MB/vol — the
+    single largest device->host item — while its ~13k runs encode in
+    ~160 KB.  Encoding dispatches on device at ``put`` time; the fetcher
+    decodes with one ``np.repeat`` and falls back to fetching the dense
+    buffer if the run budget overflowed (correctness never depends on
+    the budget)."""
 
     def __init__(self, transformer, tracker, images_path, save_figures,
                  n_writers: int = 2, fetch_batch: int = 3, seg_gate=None):
@@ -608,7 +630,8 @@ class _AsyncTrackSaver:
 
     def put(self, t2: int, corrected: Coordinates, labels_dev,
             t1_real) -> None:
-        self.save_q.put((t2, corrected, labels_dev, t1_real))
+        enc = _maybe_rle_labels(labels_dev, self.tracker.max_cells)
+        self.save_q.put((t2, corrected, labels_dev, t1_real, enc))
 
     def close(self) -> None:
         """Stop (idempotent-safe only once) and join all threads."""
@@ -634,10 +657,26 @@ class _AsyncTrackSaver:
                     break
                 batch.append(nxt)
             try:
+                from ..ops.rle import rle_decode
                 payload = jax.device_get(
-                    [(it[2], it[1].real, it[3]) for it in batch])
-                for (t2, corrected, _, _), (labels_np, real_np, t1_real) \
-                        in zip(batch, payload):
+                    [(it[4] if it[4] is not None else it[2],
+                      it[1].real, it[3]) for it in batch])
+                for (t2, corrected, labels_dev, _, enc), \
+                        (lab, real_np, t1_real) in zip(batch, payload):
+                    if enc is None:
+                        labels_np = np.asarray(lab)
+                    else:
+                        starts, vals, n_runs = lab
+                        if int(n_runs) > starts.size:
+                            # budget overflow (dense volume still on
+                            # device): correctness over compression
+                            labels_np = np.asarray(
+                                jax.device_get(labels_dev))
+                        else:
+                            labels_np = rle_decode(
+                                starts, vals, int(n_runs),
+                                int(np.prod(labels_dev.shape))
+                            ).reshape(labels_dev.shape)
                     self.write_q.put((t2, np.asarray(real_np), labels_np,
                                       np.asarray(t1_real)))
             except Exception as e:

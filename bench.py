@@ -479,11 +479,16 @@ def link_floor_vps(lat, bw_up, bw_dn, handoff: str, duplexity=None):
     gz, gy, gx = -(-Z // GRID[0]), -(-Y // GRID[1]), -(-X // GRID[2])
     vol_u16 = Z * Y * X * 2
     prob_f16 = gz * gy * gx * 2
-    labels_u8 = Z * Y * X
+    # tracked labels ride the link RLE-coded (ops/rle.py: starts i32 +
+    # vals u8 at the runs_budget, ~10x under dense at worm scale)
+    from t3dct.ops.rle import runs_budget, worth_encoding
+    r = runs_budget(Z * Y * X, 256)
+    labels_u8 = (r * 5 + 4 if worth_encoding(Z * Y * X, r, 1)
+                 else Z * Y * X)
     coords = 256 * 3 * 4
     if handoff == "device":
         # up: raw volume only; down: seg artifacts (prob f16 + points) +
-        # track artifacts (labels u8 + 2 coords); ~1.3 sync RPCs (fetch
+        # track artifacts (RLE labels + 2 coords); ~1.3 sync RPCs (fetch
         # batching 3 vols per device_get on both saver paths)
         h2d = vol_u16
         d2h = prob_f16 + labels_u8 + 3 * coords

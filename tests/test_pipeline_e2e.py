@@ -528,3 +528,55 @@ def test_segment_and_track_device_handoff_truncation_and_miss(tmp_path):
             t_range=(1, N_VOLS),
             config=TrackingConfig(ensemble=True),
             verbose=False, handoff="device")
+
+
+@pytest.mark.slow
+def test_track_labels_rle_transport_parity(tmp_path, monkeypatch):
+    """The tracked label volume rides device->host run-length encoded
+    (ops/rle.py; worm scale: ~1.6 MB -> ~160 KB per volume).  Forcing the
+    encoding ON at this test's tiny shape (worth_encoding gates it off
+    below 256 KB dense) and separately forcing a 6-run budget (every
+    volume overflows -> dense fallback) must both write label/coord
+    artifacts IDENTICAL to the encoding-disabled run."""
+    from glob import glob
+
+    import t3dct.engine.pipeline as pl
+    import t3dct.ops.rle as rle_mod
+    from t3dct.engine.pipeline import segment_and_track
+    from t3dct.io.imageio import imread_stack
+
+    raw_dir, lab1 = _write_recording(tmp_path)
+    model, ffn_w = _small_model_and_ffn()
+
+    def run(name):
+        res = tmp_path / f"results_{name}"
+        save_label_slices(lab1.transpose(1, 2, 0), res / "manual_vol1",
+                          "manual_vol1_t%04i_z%04i.tif", 0, use_8_bit=True,
+                          compression=None)
+        coords = segment_and_track(
+            str(raw_dir / "raw_t%03i_z*.tif"), model, res,
+            str(res / "manual_vol1" / "*.tif"), ffn_w,
+            voxel_size=(1, 1, Z_RATIO), interpolation_factor=2,
+            t_range=(1, N_VOLS),
+            config=TrackingConfig(beta=10.0, lambda_=3.0, max_iteration=50),
+            verbose=False, handoff="device")
+        return res, coords
+
+    monkeypatch.setattr(pl, "_maybe_rle_labels", lambda *_: None)
+    res_off, coords_off = run("rle_off")
+
+    monkeypatch.undo()
+    monkeypatch.setattr(rle_mod, "worth_encoding", lambda *_: True)
+    res_on, coords_on = run("rle_on")
+
+    monkeypatch.setattr(rle_mod, "runs_budget", lambda *_: 6)
+    res_ovf, coords_ovf = run("rle_overflow")
+
+    for res, coords in ((res_on, coords_on), (res_ovf, coords_ovf)):
+        for t in range(2, N_VOLS + 1):
+            np.testing.assert_array_equal(coords_off[t], coords[t])
+            la = imread_stack(sorted(glob(str(
+                res_off / "track_results" / "labels" / f"*t{t:06d}*.tif"))))
+            lb = imread_stack(sorted(glob(str(
+                res / "track_results" / "labels" / f"*t{t:06d}*.tif"))))
+            np.testing.assert_array_equal(la, lb, err_msg=f"labels t={t}")
