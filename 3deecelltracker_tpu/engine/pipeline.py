@@ -218,7 +218,8 @@ def segment_and_track(images_path, model,
                       timer=None,
                       handoff: str = "disk",
                       mesh=None,
-                      data_axis: str = "data") -> Dict[int, np.ndarray]:
+                      data_axis: str = "data",
+                      transport: str = "u16") -> Dict[int, np.ndarray]:
     """Run segmentation AND tracking concurrently over one recording:
     ``predict_and_save`` on its own thread, ``track_timelapse`` on the
     caller's, handing volumes off as their seg artifacts land.
@@ -254,6 +255,14 @@ def segment_and_track(images_path, model,
     ``predict_and_save`` shards its dispatch groups over the mesh and, in
     ensemble mode, ``track_timelapse`` fans the member predictions over
     the same mesh.
+
+    ``transport``: raw-volume wire format to the device.  ``"u16"``
+    (default, lossless).  ``"u8"`` quantizes against the volume's own
+    1/99.8 percentiles on the host (``io.imageio.quantize_u8``) — HALF
+    the upload bytes, for remote-link deployments; LOSSY (clips outside
+    the percentile range, 1/255 steps), so validate accuracy on your
+    recipe first (worm bench: identical 150/150 detection, 0 identity
+    switches, BASELINE.md).
     """
     import threading
 
@@ -263,7 +272,8 @@ def segment_and_track(images_path, model,
         return _segment_and_track_device(
             images_path, model, results_dir, manual_vol1_glob, ffn_weights,
             voxel_size, interpolation_factor, t_range, config, miss_frame,
-            save_figures, verbose, timer, mesh=mesh, data_axis=data_axis)
+            save_figures, verbose, timer, mesh=mesh, data_axis=data_axis,
+            transport=transport)
     if handoff != "disk":
         raise ValueError(f"handoff must be 'disk' or 'device', got "
                          f"{handoff!r}")
@@ -293,7 +303,8 @@ def segment_and_track(images_path, model,
                              volumes=list(range(t_min, t_max + 1)),
                              progress_cb=progress,
                              should_stop=cancel.is_set,
-                             mesh=mesh, data_axis=data_axis)
+                             mesh=mesh, data_axis=data_axis,
+                             transport=transport)
         except Exception as e:          # surface on the tracking side
             seg_error.append(e)
         with done_lock:
@@ -358,8 +369,9 @@ def _segment_and_track_device(images_path, model,
                               verbose: bool,
                               timer,
                               mesh=None,
-                              data_axis: str = "data") -> Dict[int,
-                                                               np.ndarray]:
+                              data_axis: str = "data",
+                              transport: str = "u16") -> Dict[int,
+                                                              np.ndarray]:
     """Device-resident ``segment_and_track`` (VERDICT r3 #1): per volume,
     ONE seg dispatch + ONE track dispatch, with tracking fed from the seg
     program's device outputs via :func:`fused_track_from_seg`.  Artifacts
@@ -409,15 +421,24 @@ def _segment_and_track_device(images_path, model,
     miss = set(miss_frame or [])
     axis = int(mesh.shape[data_axis]) if mesh is not None else 1
 
+    if transport not in ("u16", "u8"):
+        raise ValueError(f"transport must be 'u16' or 'u8', got "
+                         f"{transport!r}")
+
     def _load_raw(t):
         # percentiles on the prefetch thread; the h2d upload happens here
         # too, overlapping link latency with the previous volume's work
         # (same mechanics as predict_and_save._load_raw).  Mesh path:
         # volumes stay on host — the stacked group is device_put with the
         # batch sharding at dispatch
-        from ..io.imageio import load_2d_slices_at_time, fast_percentiles
+        from ..io.imageio import (load_2d_slices_at_time, fast_percentiles,
+                                  quantize_u8)
         x = load_2d_slices_at_time(images_path, t=t, do_normalize=False)
         mi, ma = fast_percentiles(x, (1.0, 99.8))
+        if transport == "u8":
+            # opt-in lossy 8-bit transport — see segment_and_track
+            x = quantize_u8(x, float(mi), float(ma))
+            mi, ma = 0.0, 255.0
         if mesh is not None:
             return x, float(mi), float(ma)
         return jnp.asarray(x), float(mi), float(ma)

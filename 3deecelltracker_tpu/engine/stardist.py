@@ -842,7 +842,8 @@ def predict_and_save(images_path, model: StarDist3D,
                      shrink=None,
                      should_stop=None,
                      mesh=None,
-                     data_axis: str = "data") -> None:
+                     data_axis: str = "data",
+                     transport: str = "u16") -> None:
     """Segment every volume and persist seg/ artifacts
     (``stardistwrapper.predict_and_save`` :75-111): coords saved (y, x, z)
     -> the pipeline's (x, y, z) frame, prob_map transposed to (x, y, z).
@@ -911,9 +912,20 @@ def predict_and_save(images_path, model: StarDist3D,
         axis = int(mesh.shape[data_axis])
         batch_size = -(-int(batch_size) // axis) * axis
 
+    if transport not in ("u16", "u8"):
+        raise ValueError(f"transport must be 'u16' or 'u8', got "
+                         f"{transport!r}")
+
     def _load_raw(t):
         x = load_2d_slices_at_time(images_path, t=t, do_normalize=False)
         mi, ma = fast_percentiles(x, (1.0, 99.8))
+        if transport == "u8":
+            # opt-in 8-bit transport (io.imageio.quantize_u8): halves the
+            # upload bytes; LOSSY (clips outside [p1, p99.8], 1/255
+            # quantization) — accuracy validated per recipe, BASELINE.md
+            from ..io.imageio import quantize_u8
+            x = quantize_u8(x, float(mi), float(ma))
+            mi, ma = 0.0, 255.0
         if tile_shape is not None or mesh is not None:
             # tiled path: predict_instances_tiled pads + uploads the
             # volume itself (device-resident tile slicing); mesh path:

@@ -161,6 +161,37 @@ def fast_percentiles(x: np.ndarray, qs) -> np.ndarray:
     return out
 
 
+def quantize_u8(x: np.ndarray, mi: float, ma: float) -> np.ndarray:
+    """8-bit transport quantization of a raw uint16 volume against its
+    normalization percentiles:
+    ``round_half_up(clip((x - mi)/(ma - mi)*255, 0, 255))``.
+
+    The opt-in ``transport="u8"`` pipeline path ships this over the
+    host->device link (HALF the bytes of raw uint16 — the largest
+    remaining transfer through a remote TPU) and the device normalizes
+    with ``norm_minmax=(0, 255)``.  LOSSY vs the reference's unclipped
+    csbdeep normalize: values outside the [pmin, pmax] percentile range
+    clip, and the in-range signal quantizes to 1/255 steps — accuracy is
+    validated per-recipe (BASELINE.md), never silently defaulted.
+
+    Uses the native LUT pass when available; the numpy fallback builds
+    the identical f32 LUT, so both paths are bit-identical."""
+    from ..native.tiff import quantize_u8_native
+    if x.dtype != np.uint16:
+        raise TypeError(f"transport quantization expects raw uint16 "
+                        f"volumes, got {x.dtype}")
+    out = quantize_u8_native(x, float(mi), float(ma))
+    if out is not None:
+        return out
+    v = np.arange(65536, dtype=np.float32)
+    scale = np.float32(255.0) / (np.float32(ma) - np.float32(mi)
+                                 + np.float32(1e-20))
+    q = np.clip((v - np.float32(mi)) * scale, np.float32(0.0),
+                np.float32(255.0))
+    lut = (q + np.float32(0.5)).astype(np.uint8)
+    return lut[np.ascontiguousarray(x)]
+
+
 def percentile_normalize(x: np.ndarray, pmin: float = 1.0,
                          pmax: float = 99.8,
                          eps: float = 1e-20,

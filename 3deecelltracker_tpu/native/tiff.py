@@ -55,6 +55,10 @@ def _build() -> Optional[ctypes.CDLL]:
         lib.t3dct_hist_u16.argtypes = [
             ctypes.POINTER(ctypes.c_uint16), ctypes.c_longlong,
             ctypes.POINTER(ctypes.c_uint64)]
+        lib.t3dct_quantize_u8.argtypes = [
+            ctypes.POINTER(ctypes.c_uint16), ctypes.c_longlong,
+            ctypes.c_float, ctypes.c_float,
+            ctypes.POINTER(ctypes.c_uint8)]
         return lib
     except Exception:
         _build_failed = True
@@ -142,6 +146,25 @@ def hist_u16(x: np.ndarray) -> Optional[np.ndarray]:
         ctypes.c_longlong(flat.size),
         counts.ctypes.data_as(ctypes.POINTER(ctypes.c_uint64)))
     return None if rc else counts
+
+
+def quantize_u8_native(x: np.ndarray, mi: float,
+                       ma: float) -> Optional[np.ndarray]:
+    """round_half_up(clip((x - mi)/(ma - mi)*255, 0, 255)) of a uint16
+    array, one LUT pass at memory bandwidth (GIL released); None ->
+    caller falls back to the bit-identical numpy LUT
+    (``io.imageio.quantize_u8``)."""
+    lib = _get_lib()
+    if lib is None or x.dtype != np.uint16:
+        return None
+    flat = np.ascontiguousarray(x)
+    out = np.empty(flat.shape, np.uint8)
+    rc = lib.t3dct_quantize_u8(
+        flat.ctypes.data_as(ctypes.POINTER(ctypes.c_uint16)),
+        ctypes.c_longlong(flat.size),
+        ctypes.c_float(mi), ctypes.c_float(ma),
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)))
+    return None if rc else out
 
 
 def tiff_write(path: str, img: np.ndarray, lzw: bool = False) -> bool:

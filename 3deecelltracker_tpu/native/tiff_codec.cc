@@ -534,4 +534,26 @@ int t3dct_hist_u16(const uint16_t* data, long long n, uint64_t* counts) {
   return 0;
 }
 
+// 8-bit transport quantization of a raw uint16 volume against its
+// host-computed normalization percentiles:
+// out = round_half_up(clip((x - mi) / (ma - mi) * 255, 0, 255)).
+// Used by the opt-in transport="u8" pipeline path (halves the
+// host->device bytes through a remote TPU link; the device normalizes
+// with norm_minmax=(0,255) so no device code changes).  A 65536-entry
+// LUT makes the pass pure memory bandwidth; the Python fallback builds
+// the identical f32 LUT so native/numpy results are bit-identical.
+int t3dct_quantize_u8(const uint16_t* data, long long n, float mi,
+                      float ma, uint8_t* out) {
+  if (n < 0) return 1;
+  const float scale = 255.0f / (ma - mi + 1e-20f);
+  std::vector<uint8_t> lut(65536);
+  for (int v = 0; v < 65536; ++v) {
+    float q = (static_cast<float>(v) - mi) * scale;
+    q = q < 0.0f ? 0.0f : (q > 255.0f ? 255.0f : q);
+    lut[v] = static_cast<uint8_t>(q + 0.5f);
+  }
+  for (long long i = 0; i < n; ++i) out[i] = lut[data[i]];
+  return 0;
+}
+
 }  // extern "C"

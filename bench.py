@@ -367,7 +367,7 @@ def tracking_id_metrics(coords_by_t, centers_by_t):
 
 
 def bench_composition(images_path, results: Path, lab1, model, ffn_w,
-                      handoff: str):
+                      handoff: str, transport: str = "u16"):
     """One timed pass of the shipped ``segment_and_track`` composition
     into a FRESH results tree (full real work both stages)."""
     from t3dct.config import TrackingConfig
@@ -381,7 +381,7 @@ def bench_composition(images_path, results: Path, lab1, model, ffn_w,
         voxel_size=VOXEL_SIZE, interpolation_factor=10,
         t_range=(1, N_VOLS),
         config=TrackingConfig(beta=3.0, lambda_=3.0),
-        verbose=False, handoff=handoff)
+        verbose=False, handoff=handoff, transport=transport)
     return (time.perf_counter() - t0) / N_VOLS, coords
 
 
@@ -661,6 +661,28 @@ def main():
         # the disk-coupled composition once, for the measured delta
         t_disk, _ = bench_composition(images_path, work / "results_disk",
                                       lab1, model, ffn_w, handoff="disk")
+        # opt-in 8-bit upload transport (engine docstring: LOSSY —
+        # clipped percentile tails + 1/255 quantization), best-of-3 with
+        # its OWN accuracy metrics so the speed/accuracy trade is
+        # auditable next to the lossless headline
+        trials_u8 = []
+        coords_u8 = None
+        for i in range(3):
+            t_i, coords_u8 = bench_composition(
+                images_path, work / f"results_u8_{i}", lab1, model,
+                ffn_w, handoff="device", transport="u8")
+            trials_u8.append(t_i)
+        t_u8 = min(trials_u8)
+        u8_block = {
+            "vols_per_sec": round(1.0 / t_u8, 4),
+            "trials_ms": [round(t * 1e3) for t in trials_u8],
+            "identity_err_vs_gt": round(
+                tracking_err_vs_gt(coords_u8, centers_by_t), 2),
+            **tracking_id_metrics(coords_u8, centers_by_t),
+            "note": ("transport='u8' halves the raw-volume upload; "
+                     "lossy input quantization — accuracy columns "
+                     "measured on ITS OWN tracked output"),
+        }
 
         lat, bw_up, bw_dn, duplexity = calibrate_link()
         floor_ser, floor_dup, floor_meas, h2d_b, d2h_b = link_floor_vps(
@@ -727,6 +749,7 @@ def main():
                          round(floor_disk_meas, 2)},
             "device_mfu": mfu,
             "tracking_identity": id_metrics,
+            "u8_transport": u8_block,
             "mesh_scaling": (
                 "single-chip measured (this host exposes 1 TPU chip); "
                 "segment_and_track(handoff='device', mesh=) fans seg "

@@ -192,3 +192,37 @@ def test_prefetcher_parallel_workers():
     assert next(it) == (3, 30)
     with pytest.raises(FileNotFoundError):
         next(it)
+
+
+def test_quantize_u8_formula_and_native_parity(monkeypatch):
+    """io.imageio.quantize_u8 (the transport='u8' wire format):
+    round_half_up(clip((x-mi)/(ma-mi)*255, 0, 255)) in f32, with the
+    native LUT pass and the numpy LUT fallback bit-identical."""
+    import t3dct.native.tiff as nt
+    from t3dct.io.imageio import quantize_u8
+
+    rng = np.random.default_rng(3)
+    x = rng.integers(0, 50000, (7, 33, 41)).astype(np.uint16)
+    mi, ma = 120.0, 43210.5
+    got = quantize_u8(x, mi, ma)
+    assert got.dtype == np.uint8 and got.shape == x.shape
+
+    # brute-force reference in f32 (same op order as the LUT build)
+    q = np.clip((x.astype(np.float32) - np.float32(mi))
+                * (np.float32(255.0) / (np.float32(ma) - np.float32(mi)
+                                        + np.float32(1e-20))),
+                np.float32(0), np.float32(255))
+    ref = (q + np.float32(0.5)).astype(np.uint8)
+    np.testing.assert_array_equal(got, ref)
+
+    # clipping: below mi -> 0, above ma -> 255
+    edges = np.array([0, 100, 43211, 65535], np.uint16)
+    qe = quantize_u8(edges, mi, ma)
+    assert qe[0] == 0 and qe[1] == 0 and qe[-1] == 255
+
+    # numpy fallback (native disabled) is bit-identical
+    monkeypatch.setattr(nt, "quantize_u8_native", lambda *a: None)
+    np.testing.assert_array_equal(quantize_u8(x, mi, ma), got)
+
+    with pytest.raises(TypeError, match="uint16"):
+        quantize_u8(x.astype(np.float32), mi, ma)

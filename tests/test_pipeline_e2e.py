@@ -580,3 +580,46 @@ def test_track_labels_rle_transport_parity(tmp_path, monkeypatch):
             lb = imread_stack(sorted(glob(str(
                 res / "track_results" / "labels" / f"*t{t:06d}*.tif"))))
             np.testing.assert_array_equal(la, lb, err_msg=f"labels t={t}")
+
+
+@pytest.mark.slow
+def test_segment_and_track_u8_transport(tmp_path):
+    """transport='u8' (opt-in lossy 8-bit upload format, halving h2d
+    bytes through a remote link): the composition must run end-to-end,
+    be deterministic, and track within a small deviation of the lossless
+    u16 run (the input quantization is <=1/255 of the normalized dynamic
+    range)."""
+    from t3dct.engine.pipeline import segment_and_track
+
+    raw_dir, lab1 = _write_recording(tmp_path)
+    model, ffn_w = _small_model_and_ffn()
+
+    coords = {}
+    for name, transport in (("u16", "u16"), ("u8", "u8"),
+                            ("u8b", "u8")):
+        res = tmp_path / f"results_{name}"
+        save_label_slices(lab1.transpose(1, 2, 0), res / "manual_vol1",
+                          "manual_vol1_t%04i_z%04i.tif", 0, use_8_bit=True,
+                          compression=None)
+        coords[name] = segment_and_track(
+            str(raw_dir / "raw_t%03i_z*.tif"), model, res,
+            str(res / "manual_vol1" / "*.tif"), ffn_w,
+            voxel_size=(1, 1, Z_RATIO), interpolation_factor=2,
+            t_range=(1, N_VOLS),
+            config=TrackingConfig(beta=10.0, lambda_=3.0, max_iteration=50),
+            verbose=False, handoff="device", transport=transport)
+
+    for t in range(2, N_VOLS + 1):
+        # deterministic
+        np.testing.assert_array_equal(coords["u8"][t], coords["u8b"][t])
+        # close to lossless
+        dev = np.abs(coords["u8"][t] - coords["u16"][t]).max()
+        assert dev < 1.0, f"t={t}: max tracked deviation {dev}"
+
+    with pytest.raises(ValueError, match="transport"):
+        segment_and_track(
+            str(raw_dir / "raw_t%03i_z*.tif"), model, tmp_path / "bad",
+            str(tmp_path / "results_u16" / "manual_vol1" / "*.tif"), ffn_w,
+            voxel_size=(1, 1, Z_RATIO), interpolation_factor=2,
+            t_range=(1, N_VOLS), config=TrackingConfig(),
+            verbose=False, handoff="device", transport="f8")
