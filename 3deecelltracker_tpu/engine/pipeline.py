@@ -431,14 +431,11 @@ def _segment_and_track_device(images_path, model,
         # (same mechanics as predict_and_save._load_raw).  Mesh path:
         # volumes stay on host — the stacked group is device_put with the
         # batch sharding at dispatch
-        from ..io.imageio import (load_2d_slices_at_time, fast_percentiles,
-                                  quantize_u8)
+        from ..io.imageio import load_2d_slices_at_time, transport_encode
         x = load_2d_slices_at_time(images_path, t=t, do_normalize=False)
-        mi, ma = fast_percentiles(x, (1.0, 99.8))
-        if transport == "u8":
-            # opt-in lossy 8-bit transport — see segment_and_track
-            x = quantize_u8(x, float(mi), float(ma))
-            mi, ma = 0.0, 255.0
+        # the shared wire format (lossless u16 / opt-in lossy u8) —
+        # ONE definition in io.imageio.transport_encode
+        x, mi, ma = transport_encode(x, transport)
         if mesh is not None:
             return x, float(mi), float(ma)
         return jnp.asarray(x), float(mi), float(ma)

@@ -104,10 +104,20 @@ class UNetSegmenter:
                     f"halo must be a multiple of the total x pool factor "
                     f"{tp} (pooling-grid alignment), got {halo}")
             self.halo = int(halo)
-            sharded = make_spatially_sharded_apply(
-                self._apply_probs, mesh, self.halo, axis=axis)
             xl, yl, zl = self.vol_shape
             mult = axis_size * tp
+            shard_x = (xl + ((-xl) % mult)) // axis_size
+            if self.halo > shard_x:
+                raise ValueError(
+                    f"halo ({self.halo}) exceeds the per-device x shard "
+                    f"({shard_x} = padded {xl} / {axis_size} devices): the "
+                    f"halo slices would clamp and the exchange would fail "
+                    f"with an opaque shape error.  Use fewer devices on "
+                    f"the {axis!r} axis, a bigger volume, or a smaller "
+                    f"pool-aligned halo= (edge-band accuracy tradeoff, "
+                    f"see docstring)")
+            sharded = make_spatially_sharded_apply(
+                self._apply_probs, mesh, self.halo, axis=axis)
             pads = ((0, (-xl) % mult),
                     (0, (-yl) % model.pool[1] ** n_levels),
                     (0, (-zl) % model.pool[2] ** n_levels))

@@ -23,8 +23,8 @@ import numpy as np
 
 from ..config import StarDistConfig
 from ..io.artifacts import ResultsTree
-from ..io.imageio import (fast_percentiles, get_t_range,
-                          load_2d_slices_at_time, save_volume_slices)
+from ..io.imageio import (get_t_range, load_2d_slices_at_time,
+                          save_volume_slices, transport_encode)
 from ..io.prefetch import VolumePrefetcher
 from ..models.stardist3d import StarDist3DNet, sparse_candidates
 from ..ops.nms import greedy_nms, overlap_matrix, render_polyhedra_labels
@@ -918,14 +918,9 @@ def predict_and_save(images_path, model: StarDist3D,
 
     def _load_raw(t):
         x = load_2d_slices_at_time(images_path, t=t, do_normalize=False)
-        mi, ma = fast_percentiles(x, (1.0, 99.8))
-        if transport == "u8":
-            # opt-in 8-bit transport (io.imageio.quantize_u8): halves the
-            # upload bytes; LOSSY (clips outside [p1, p99.8], 1/255
-            # quantization) — accuracy validated per recipe, BASELINE.md
-            from ..io.imageio import quantize_u8
-            x = quantize_u8(x, float(mi), float(ma))
-            mi, ma = 0.0, 255.0
+        # the shared wire format (lossless u16 / opt-in lossy u8) —
+        # ONE definition in io.imageio.transport_encode
+        x, mi, ma = transport_encode(x, transport)
         if tile_shape is not None or mesh is not None:
             # tiled path: predict_instances_tiled pads + uploads the
             # volume itself (device-resident tile slicing); mesh path:

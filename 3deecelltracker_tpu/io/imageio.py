@@ -130,6 +130,8 @@ def fast_percentiles(x: np.ndarray, qs) -> np.ndarray:
     wide-range input.  Reference semantics: csbdeep normalize percentiles
     at ``stardistwrapper.py:71``."""
     qs_arr = np.atleast_1d(np.asarray(qs, np.float64))
+    if np.any((qs_arr < 0.0) | (qs_arr > 100.0)):
+        raise ValueError("Percentiles must be in the range [0, 100]")
     if x.dtype == np.bool_:
         x = x.view(np.uint8)
     if not np.issubdtype(x.dtype, np.integer) or x.size == 0:
@@ -155,8 +157,15 @@ def fast_percentiles(x: np.ndarray, qs) -> np.ndarray:
         vk = float(np.searchsorted(csum, k + 1, side="left"))
         if d > 0.0:
             vk1 = float(np.searchsorted(csum, min(k + 2, n), side="left"))
-            # numpy's lerp: a + (b - a) * t, computed in float64
-            vk = vk + (vk1 - vk) * d
+            # numpy's _lerp, bit-for-bit: a + (b-a)*t, but recomputed
+            # from the b side as b - (b-a)*(1-t) when t >= 0.5 (numpy
+            # lib/_function_base_impl.py _lerp) — without the switch the
+            # two forms differ in the last f64 ulp for some (n, q)
+            diff = vk1 - vk
+            lerp = vk + diff * d
+            if d >= 0.5:
+                lerp = vk1 - diff * (1.0 - d)
+            vk = lerp
         out[i] = vk
     return out
 
@@ -190,6 +199,29 @@ def quantize_u8(x: np.ndarray, mi: float, ma: float) -> np.ndarray:
                 np.float32(255.0))
     lut = (q + np.float32(0.5)).astype(np.uint8)
     return lut[np.ascontiguousarray(x)]
+
+
+def transport_encode(x: np.ndarray, transport: str):
+    """THE raw-volume wire format shared by every driver loader
+    (``predict_and_save`` and the device-handoff ``segment_and_track``):
+    returns ``(x, mi, ma)`` where the device normalizes ``x`` with
+    ``norm_minmax=(mi, ma)``.
+
+    ``"u16"`` (default): the raw volume rides lossless; ``(mi, ma)`` are
+    its exact 1/99.8 percentiles (csbdeep normalize semantics,
+    stardistwrapper.py:71).  ``"u8"``: :func:`quantize_u8` against those
+    same percentiles — HALF the upload bytes, LOSSY (clips outside
+    [p1, p99.8], 1/255 steps; accuracy validated per recipe, BASELINE.md)
+    — and ``(mi, ma) = (0, 255)``.  One definition so the two drivers'
+    on-device normalization can never desynchronize."""
+    if transport not in ("u16", "u8"):
+        raise ValueError(f"transport must be 'u16' or 'u8', got "
+                         f"{transport!r}")
+    mi, ma = fast_percentiles(x, (1.0, 99.8))
+    if transport == "u8":
+        x = quantize_u8(x, float(mi), float(ma))
+        mi, ma = 0.0, 255.0
+    return x, float(mi), float(ma)
 
 
 def percentile_normalize(x: np.ndarray, pmin: float = 1.0,

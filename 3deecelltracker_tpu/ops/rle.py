@@ -48,6 +48,10 @@ def rle_encode(flat: jax.Array, max_runs: int
     truncated and the caller must fall back to the dense array.
     """
     n = flat.shape[0]
+    if n == 0:      # static shape: an empty array is zero runs
+        return (jnp.zeros((max_runs,), jnp.int32),
+                jnp.zeros((max_runs,), flat.dtype),
+                jnp.zeros((), jnp.int32))
     change = jnp.concatenate(
         [jnp.ones((1,), bool), flat[1:] != flat[:-1]])
     n_runs = jnp.sum(change, dtype=jnp.int32)

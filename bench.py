@@ -479,13 +479,18 @@ def link_floor_vps(lat, bw_up, bw_dn, handoff: str, duplexity=None):
     gz, gy, gx = -(-Z // GRID[0]), -(-Y // GRID[1]), -(-X // GRID[2])
     vol_u16 = Z * Y * X * 2
     prob_f16 = gz * gy * gx * 2
+    # the pipeline's static point-set pad — TrackerLite's default
+    # ceil(n1 * 1.5 / 64) * 64 (engine/tracker.py) for this recording's
+    # N_CELLS, so the byte tally below matches what actually rides the
+    # link (the RLE runs_budget and the coords payloads key on it)
+    max_cells = int(np.ceil(N_CELLS * 1.5 / 64) * 64)
     # tracked labels ride the link RLE-coded (ops/rle.py: starts i32 +
     # vals u8 at the runs_budget, ~10x under dense at worm scale)
     from t3dct.ops.rle import runs_budget, worth_encoding
-    r = runs_budget(Z * Y * X, 256)
+    r = runs_budget(Z * Y * X, max_cells)
     labels_u8 = (r * 5 + 4 if worth_encoding(Z * Y * X, r, 1)
                  else Z * Y * X)
-    coords = 256 * 3 * 4
+    coords = max_cells * 3 * 4
     if handoff == "device":
         # up: raw volume only; down: seg artifacts (prob f16 + points) +
         # track artifacts (RLE labels + 2 coords); ~1.3 sync RPCs (fetch

@@ -75,6 +75,32 @@ def test_fast_percentiles_exact_vs_numpy():
                                       np.percentile(x, qs))
 
 
+def test_fast_percentiles_fuzz_lerp_ulp():
+    """Random (n, q) fuzz against np.percentile: numpy's _lerp switches
+    to b - (b-a)*(1-t) when t >= 0.5 — lerping only from the a side
+    differs in the last f64 ulp for some (n, q) and fails bit-identity
+    (review round 5; 27/5000 cases diverged before the fix)."""
+    from t3dct.io.imageio import fast_percentiles
+    rng = np.random.RandomState(0)
+    for _ in range(3000):
+        n = rng.randint(1, 40)
+        x = rng.randint(0, rng.choice([5, 100, 65536]),
+                        size=n).astype(np.uint16)
+        q = float(rng.rand() * 100)
+        assert fast_percentiles(x, q)[0] == np.percentile(x, q), (n, q)
+
+
+def test_fast_percentiles_invalid_q_raises():
+    """q outside [0, 100] must raise like np.percentile does — never
+    fabricate out-of-range values on the integer fast path."""
+    import pytest
+
+    from t3dct.io.imageio import fast_percentiles
+    for q in (-0.1, 100.5, (1.0, 101.0)):
+        with pytest.raises(ValueError):
+            fast_percentiles(np.array([3, 7], np.uint16), q)
+
+
 def test_percentile_normalize_integer_path_matches_float_path():
     """The integer fast path of percentile_normalize must agree with the
     partition path it replaces (same f32 scalars, same arithmetic)."""

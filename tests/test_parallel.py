@@ -230,6 +230,12 @@ def test_unet_segmenter_mesh_halo_matches_whole_volume(tiny_unet):
     with pytest.raises(ValueError, match="mesh_mode"):
         UNetSegmenter(model, params, state, cfg, shape, mesh=mesh,
                       mesh_mode="bogus")
+    # a halo wider than the per-device x shard must fail with a CLEAR
+    # error at construction, not an opaque XLA shape error at apply
+    # (review round 5): 8-way mesh on 64-x -> 8-wide shards < halo 8+
+    with pytest.raises(ValueError, match="exceeds the per-device"):
+        UNetSegmenter(model, params, state, cfg, (16, 32, 8),
+                      mesh=make_mesh(1, 8), mesh_mode="halo")
 
 
 def test_multihost_scaffolding_single_process():

@@ -65,6 +65,17 @@ def test_padded_starts_are_n():
     np.testing.assert_array_equal(np.asarray(starts), [0, 3, 5, 5])
 
 
+def test_empty_input_is_zero_runs():
+    """A zero-length array is ZERO runs (the unconditional leading-change
+    flag must not fabricate a phantom run; review round 5), and the
+    decode of that encoding is the empty array."""
+    starts, vals, n_runs = rle_encode(jnp.zeros((0,), jnp.uint8),
+                                      max_runs=8)
+    assert int(n_runs) == 0
+    out = rle_decode(np.asarray(starts), np.asarray(vals), 0, 0)
+    assert out.size == 0
+
+
 def test_budget_and_worth():
     # worm scale: (32,224,224) u8, 256-cell budget -> ~10x smaller
     n = 32 * 224 * 224
